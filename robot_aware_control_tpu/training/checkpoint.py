@@ -1,0 +1,94 @@
+"""Checkpointing with auto-resume.
+
+Preserves the reference's checkpoint contract (reference:
+src/prediction/trainer.py:829-897): checkpoints are written as
+`ckpt_<step>` under the log dir, training auto-resumes from the newest one,
+and a finetune load can skip the optimizer state and reset the step
+(trainer.py:892-896).
+
+Implementation is a self-contained flattened-pytree .npz (keyed by treedef
+paths) — robust across jax versions, no host-side deps, and trivially
+shardable later. Robot-model checkpoints ({joint_model, gripper_model},
+reference: trainer.py:839-844) use the same container.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _flatten(tree) -> Dict[str, np.ndarray]:
+    flat = {}
+    leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+    for path, leaf in leaves:
+        key = jax.tree_util.keystr(path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def _unflatten(template, flat: Dict[str, np.ndarray]):
+    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for path, leaf in paths_leaves:
+        key = jax.tree_util.keystr(path)
+        if key not in flat:
+            raise KeyError(f"checkpoint missing leaf {key}")
+        arr = flat[key]
+        if arr.shape != np.shape(leaf):
+            raise ValueError(
+                f"shape mismatch for {key}: ckpt {arr.shape} vs model {np.shape(leaf)}"
+            )
+        leaves.append(arr)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def save_checkpoint(log_dir: str, step: int, trees: Dict[str, Any]):
+    """trees: named pytrees, e.g. {"params":..., "bn":..., "opt":...}."""
+    os.makedirs(log_dir, exist_ok=True)
+    path = os.path.join(log_dir, f"ckpt_{step}.npz")
+    flat = {}
+    for name, tree in trees.items():
+        for k, v in _flatten(tree).items():
+            flat[f"{name}|{k}"] = v
+    flat["__step__"] = np.asarray(step)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **flat)
+    os.replace(tmp, path)
+    return path
+
+
+def latest_checkpoint(log_dir: str) -> Optional[str]:
+    """Newest ckpt_<step>.npz by step (reference: trainer.py:846-861)."""
+    if not os.path.isdir(log_dir):
+        return None
+    best, best_step = None, -1
+    for fn in os.listdir(log_dir):
+        m = re.fullmatch(r"ckpt_(\d+)\.npz", fn)
+        if m and int(m.group(1)) > best_step:
+            best_step = int(m.group(1))
+            best = os.path.join(log_dir, fn)
+    return best
+
+
+def load_checkpoint(
+    path: str, templates: Dict[str, Any]
+) -> Tuple[Dict[str, Any], int]:
+    """Restore named pytrees into matching templates. Missing template names
+    are skipped (e.g. finetune skips the optimizer, trainer.py:892-896)."""
+    with np.load(path, allow_pickle=False) as data:
+        flat = {k: data[k] for k in data.files}
+    step = int(flat.pop("__step__"))
+    out = {}
+    for name, template in templates.items():
+        prefix = f"{name}|"
+        sub = {k[len(prefix):]: v for k, v in flat.items() if k.startswith(prefix)}
+        if not sub:
+            raise KeyError(f"checkpoint has no tree named {name!r}")
+        out[name] = _unflatten(template, sub)
+    return out, step
