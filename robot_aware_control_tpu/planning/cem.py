@@ -1,0 +1,177 @@
+"""CEM action optimization, fully on device.
+
+The reference CEM (reference: src/cem/cem.py:56-111, pick variant
+src/cem/pick/cem.py:50-112, push variant src/cem/push/cem.py:50-104) runs
+`opt_iter` Python iterations, each of which samples actions on the host,
+ships them to the GPU in `candidates_batch_size` chunks, syncs costs back
+to numpy, and refits on the CPU. TPU-native redesign: the ENTIRE optimizer
+— sampling, clamping, rollout (incl. robot IK + mask rendering), top-k and
+refit — is one `lax.fori_loop` inside one jitted program. One dispatch per
+`get_action`, zero host/device round-trips.
+
+Preserved semantics:
+  * mean/std over (horizon-1, A); init std = cem_init_std (cem.py:74-75),
+  * a "do nothing" candidate injected at iteration 0 (cem.py:82-83;
+    locobot variant only),
+  * per-variant clamps: locobot +-0.05 then zero-pad to 5-D (cem.py:85-86);
+    push +-1, pad (push/cem.py:80-81); pick +-1 with gripper in [-0.01, 0],
+    mean[-1]=-0.005, std[0]=0.2, std[-1]=0.005 (pick/cem.py:66-89),
+  * refit: mean/std of the top-K rewards, std floored at 1e-3 with
+    torch-matching unbiased std (cem.py:96-104),
+  * returns the final mean plan (cem.py:111).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from robot_aware_control_tpu.config import Config
+from robot_aware_control_tpu.data.norm import LOCOBOT_HIGH, LOCOBOT_LOW, normalize
+from robot_aware_control_tpu.planning.rollout import RolloutEngine, TrajectorySampler
+from robot_aware_control_tpu.utils.state import DemoGoalState, State
+
+
+class CEMPolicy:
+    """Locobot/real-robot planar CEM (reference: src/cem/cem.py:14-111)."""
+
+    action_dim = 2
+    pad_to = 5
+    zero_candidate = True
+
+    def __init__(self, cfg: Config, params, bn, horizon=None, opt_iter=None,
+                 action_candidates=None, topk=None, init_std=None, **engine_kw):
+        self.cfg = cfg
+        self.params = params
+        self.bn = bn
+        self.horizon = horizon or cfg.horizon
+        self.opt_iter = opt_iter or cfg.opt_iter
+        self.num_candidates = action_candidates or cfg.action_candidates
+        self.topk = topk or cfg.topk
+        self.init_std = init_std if init_std is not None else cfg.cem_init_std
+        self.engine = RolloutEngine(cfg, **engine_kw)
+        self.traj_sampler = TrajectorySampler(cfg, params, bn, **engine_kw)
+        self._plan = jax.jit(self._build_plan())
+
+    # --- variant hooks -------------------------------------------------
+    def init_mean_std(self, T: int):
+        """(reference: cem.py:74-75)"""
+        mean = jnp.zeros((T - 1, self.action_dim), jnp.float32)
+        std = jnp.full((T - 1, self.action_dim), self.init_std, jnp.float32)
+        return mean, std
+
+    def clamp(self, acts):
+        """(reference: cem.py:85)"""
+        return jnp.clip(acts, -0.05, 0.05)
+
+    def pad(self, acts):
+        """Zero-pad sampled planar actions to the model's 5-D action space
+        (reference: cem.py:86)."""
+        N, Tm1, A = acts.shape
+        if A >= self.pad_to:
+            return acts
+        return jnp.concatenate(
+            [acts, jnp.zeros((N, Tm1, self.pad_to - A), acts.dtype)], -1
+        )
+
+    # --- the on-device optimizer ---------------------------------------
+    def _build_plan(self):
+        cfg = self.cfg
+        N, K = self.num_candidates, self.topk
+        T = self.horizon
+
+        def plan(params, bn, start_img, start_state_norm, start_qpos,
+                 goal_imgs, goal_masks, rng, mean0, std0):
+            def body(i, carry):
+                rng, mean, std = carry
+                rng, k_s, k_r = jax.random.split(rng, 3)
+                acts = mean[None] + std[None] * jax.random.normal(
+                    k_s, (N,) + mean.shape, jnp.float32
+                )
+                if self.zero_candidate:
+                    # "do nothing" candidate at iteration 0 (cem.py:82-83)
+                    zeroed = acts.at[-1].set(0.0)
+                    acts = jnp.where(i == 0, zeroed, acts)
+                acts = self.clamp(acts)
+                padded = self.pad(acts)
+                sum_cost = self.engine(
+                    params, bn, start_img, start_state_norm, start_qpos,
+                    padded, goal_imgs, goal_masks, k_r,
+                )
+                _, top_idx = jax.lax.top_k(sum_cost, K)
+                top_act = acts[top_idx]
+                new_mean = jnp.mean(top_act, axis=0)
+                new_std = jnp.maximum(jnp.std(top_act, axis=0, ddof=1), 1e-3)
+                return (rng, new_mean, new_std)
+
+            _, mean, _ = jax.lax.fori_loop(
+                0, self.opt_iter, body, (rng, mean0, std0)
+            )
+            return mean
+
+        return plan
+
+    # --- host API -------------------------------------------------------
+    def get_action(self, start: State, goal: DemoGoalState, ep_num=0, step=0,
+                   opt_traj=None, rng=None):
+        """Returns the mean plan (horizon-1, action_dim) as numpy
+        (reference: cem.py:56-111)."""
+        cfg = self.cfg
+        T = self.horizon
+        img = np.asarray(start.img, np.float32)
+        if img.max() > 1.5:
+            img = img / 255.0
+        state_raw = self.traj_sampler._frame_shift(start.state)
+        state_norm = normalize(
+            state_raw, LOCOBOT_LOW[: len(state_raw)], LOCOBOT_HIGH[: len(state_raw)]
+        )
+        qpos = np.zeros(5, np.float32)
+        if start.qpos is not None:
+            q = np.asarray(start.qpos, np.float32).ravel()
+            qpos[: min(5, len(q))] = q[:5]
+        goal_imgs, goal_masks = self.traj_sampler.prepare_goals(goal, T - 1)
+        if rng is None:
+            rng = jax.random.PRNGKey(cfg.seed + 7919 * ep_num + step)
+        mean0, std0 = self.init_mean_std(T)
+        mean = self._plan(
+            self.params, self.bn, jnp.asarray(img), jnp.asarray(state_norm),
+            jnp.asarray(qpos), jnp.asarray(goal_imgs),
+            None if goal_masks is None else jnp.asarray(goal_masks),
+            rng, mean0, std0,
+        )
+        return np.asarray(mean)
+
+
+class PushCEMPolicy(CEMPolicy):
+    """LocobotPushEnv planar variant (reference: src/cem/push/cem.py:50-104):
+    clamp +-1, no do-nothing candidate."""
+
+    zero_candidate = False
+
+    def clamp(self, acts):
+        return jnp.clip(acts, -1.0, 1.0)
+
+
+class PickCEMPolicy(CEMPolicy):
+    """LocobotPickEnv 4-D (xyz + gripper) variant
+    (reference: src/cem/pick/cem.py:50-112)."""
+
+    action_dim = 4
+    pad_to = 4
+    zero_candidate = False
+
+    def init_mean_std(self, T: int):
+        mean = jnp.zeros((T - 1, 4), jnp.float32)
+        mean = mean.at[:, -1].set(-0.005)
+        std = jnp.full((T - 1, 4), self.init_std, jnp.float32)
+        std = std.at[:, 0].set(0.2)
+        std = std.at[:, -1].set(0.005)
+        return mean, std
+
+    def clamp(self, acts):
+        acts = jnp.clip(acts, -1.0, 1.0)
+        return acts.at[..., -1].set(jnp.clip(acts[..., -1], -0.01, 0.0))

@@ -1,0 +1,95 @@
+"""Planning costs: robot / world decomposed rewards as batched pure functions.
+
+Re-derives the reference's `Cost` hierarchy (reference:
+src/prediction/losses.py:172-335) as jnp functions over batched arrays so
+the whole cost stack fuses into the jitted CEM rollout graph. The reference
+evaluates costs per candidate-batch on GPU then syncs to numpy every step
+(losses.py:231-238, 264-268); here cost evaluation never leaves the device.
+
+Conventions (identical to the reference):
+  * costs are *rewards* — negated distances; the planner maximizes.
+  * images are float in [0,1]; distances are computed on a 255 scale
+    (losses.py:229 multiplies by 255).
+  * the don't-care image cost zeroes the union of current and goal robot
+    masks and normalizes by the world-pixel count (losses.py:244-268).
+
+Shapes: curr_img (N,H,W,C), goal_img (H,W,C) or (N,H,W,C); masks (...,1).
+Returns (N,) float32 rewards.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from robot_aware_control_tpu.config import Config
+
+
+def _bsum(x):
+    """Sum over all but the leading batch axis."""
+    return jnp.sum(x, axis=tuple(range(1, x.ndim)))
+
+
+def robot_l2_cost(curr_state, goal_state):
+    """-||curr - goal||_2 over state vectors (reference: losses.py:183-207)."""
+    d = (curr_state.astype(jnp.float32) - goal_state.astype(jnp.float32)) ** 2
+    return -jnp.sqrt(_bsum(d))
+
+
+def img_l2_cost(cfg: Config, curr_img, goal_img):
+    """-||255*(curr - goal)||_2 per batch element; optional threshold-count
+    mode (reference: losses.py:210-238)."""
+    c = curr_img.astype(jnp.float32)
+    g = goal_img.astype(jnp.float32)
+    if cfg.img_cost_threshold is not None:
+        diff = jnp.abs(255.0 * (c - g))
+        return -_bsum(diff > cfg.img_cost_threshold).astype(jnp.float32)
+    d = (255.0 * (c - g)) ** 2
+    return -jnp.sqrt(_bsum(d))
+
+
+def img_dontcare_cost(cfg: Config, curr_img, goal_img, curr_mask, goal_mask):
+    """L2 over the union-masked world region, normalized by world pixels
+    (reference: losses.py:240-288)."""
+    c = curr_img.astype(jnp.float32)
+    g = goal_img.astype(jnp.float32)
+    union = (curr_mask.astype(jnp.float32) > 0.5) | (
+        goal_mask.astype(jnp.float32) > 0.5
+    )  # (..., H, W, 1)
+    keep = 1.0 - union.astype(jnp.float32)
+    if cfg.img_cost_threshold is not None:
+        diff = jnp.abs(255.0 * (c - g)) * keep
+        loss = _bsum(diff > cfg.img_cost_threshold).astype(jnp.float32)
+    else:
+        d = ((255.0 * (c - g)) * keep) ** 2
+        loss = jnp.sqrt(_bsum(d))
+    if cfg.img_cost_world_norm:
+        num_world = _bsum(1.0 - union.astype(jnp.float32))
+        loss = loss / jnp.maximum(num_world, 1.0)
+    return -loss
+
+
+class RobotWorldCost:
+    """robot_cost_weight * RobotL2 + world_cost_weight * (ImgL2|ImgDontcare)
+    (reference: losses.py:290-335). Pure; call under jit."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.robot_w = cfg.robot_cost_weight
+        self.world_w = cfg.world_cost_weight
+        self.dontcare = cfg.reward_type == "dontcare"
+
+    def __call__(self, curr_img, goal_img, curr_mask=None, goal_mask=None,
+                 curr_state=None, goal_state=None):
+        total = 0.0
+        if self.robot_w != 0 and curr_state is not None and goal_state is not None:
+            total = total + self.robot_w * robot_l2_cost(curr_state, goal_state)
+        if self.world_w != 0:
+            if self.dontcare:
+                total = total + self.world_w * img_dontcare_cost(
+                    self.cfg, curr_img, goal_img, curr_mask, goal_mask
+                )
+            else:
+                total = total + self.world_w * img_l2_cost(
+                    self.cfg, curr_img, goal_img
+                )
+        return total

@@ -1,0 +1,290 @@
+"""Batched model-rollout engine for CEM planning.
+
+Redesign of the reference `TrajectorySampler.generate_model_rollouts`
+(reference: src/cem/trajectory_sampler.py:36-199), which per CEM iteration
+runs scalar IK + serial MuJoCo mask renders on the host
+(trajectory_sampler.py:86-107) and then chunks the N candidates into
+`candidates_batch_size` GPU micro-batches with a Python loop over the
+horizon (:123-174). Here the ENTIRE rollout — eef integration, batched
+analytic IK, capsule mask rendering, T model steps, compositing and cost —
+is a single traced program:
+
+  * candidates are the batch axis (no chunking; shard over the mesh's
+    "data" axis for very large N),
+  * the horizon is a `lax.scan`,
+  * masks/states come from the pure-JAX robot model fused into the same
+    graph (no host round-trip),
+  * costs accumulate on device; one scalar array (N,) comes back.
+
+Semantics preserved (trajectory_sampler.py:123-174):
+  * thick masks for model input and cost (predict_batch(..., thick=True)),
+  * robot-pixel blackout of the model input and the composited output when
+    a dontcare loss / black_robot_input is active (:141-152),
+  * goal indexing goal_idx = min(t, G-1) (:154-156),
+  * sparse_cost only scores the final step (:166-169),
+  * prior sampling with optional sample_mean (:148).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from robot_aware_control_tpu.config import Config
+from robot_aware_control_tpu.data.norm import (
+    LOCO_FRANKA_DIFF,
+    LOCOBOT_HIGH,
+    LOCOBOT_LOW,
+    denormalize,
+    normalize,
+)
+from robot_aware_control_tpu.models.registry import get_model
+from robot_aware_control_tpu.models import svg
+from robot_aware_control_tpu.models.common import skip_zeros
+from robot_aware_control_tpu.ops import losses as L
+from robot_aware_control_tpu.planning.cost import RobotWorldCost
+from robot_aware_control_tpu.robot import locobot_kinematics as lk
+from robot_aware_control_tpu.robot.mask_renderer import CapsuleMaskRenderer
+from robot_aware_control_tpu.training.step import _conditioning, _model_step
+from robot_aware_control_tpu.utils.state import DemoGoalState, State
+
+
+def _needs_robot_model(cfg: Config) -> bool:
+    """(reference: trajectory_sampler.py:28, 90)"""
+    return (
+        cfg.model_use_robot_state
+        or cfg.model_use_mask
+        or cfg.black_robot_input
+        or "dontcare" in cfg.reward_type
+    )
+
+
+class RolloutEngine:
+    """Traceable rollout+cost core. Instantiate once per config; call inside
+    jit (the CEM loop) or through `TrajectorySampler` for the host API."""
+
+    def __init__(self, cfg: Config, camera_key: str = "locobot_c0",
+                 push_height: float = lk.PUSH_HEIGHT,
+                 default_pitch: float = lk.DEFAULT_PITCH,
+                 default_roll: float = lk.DEFAULT_ROLL):
+        self.cfg = cfg
+        self.cost = RobotWorldCost(cfg)
+        self.push_height = push_height
+        self.default_pitch = default_pitch
+        self.default_roll = default_roll
+        self.low = jnp.asarray(LOCOBOT_LOW)
+        self.high = jnp.asarray(LOCOBOT_HIGH)
+        size = (cfg.image_height, cfg.image_width)
+        self.renderer_thick = CapsuleMaskRenderer(
+            size, camera_key, thick=True, modified=cfg.modified
+        )
+        self.use_robot = _needs_robot_model(cfg)
+        self.dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    # ------------------------------------------------------------------
+    def robot_trajectory(self, start_state_norm, start_qpos, actions_tna):
+        """IK + mask render for all candidates/steps in one fused block
+        (replaces reference trajectory_sampler.py:86-107).
+
+        start_state_norm (5,), start_qpos (>=5,), actions_tna (T, N, >=2).
+        Returns (states_norm (T+1,N,5), masks (T+1,N,h,w,1))."""
+        N = actions_tna.shape[1]
+        start_raw = denormalize(start_state_norm, self.low, self.high)
+        start_raw_n = jnp.broadcast_to(start_raw, (N,) + start_raw.shape)
+        qpos_n = jnp.broadcast_to(
+            start_qpos[:5], (N, 5)
+        ).astype(jnp.float32)
+        states_raw, qpos = lk.integrate_planar_actions(
+            start_raw_n, qpos_n, actions_tna[..., :2],
+            push_height=self.push_height, pitch=self.default_pitch,
+            roll=self.default_roll,
+        )
+        masks = self.renderer_thick.render(qpos)
+        states_norm = normalize(states_raw, self.low[None], self.high[None])
+        return states_norm, masks
+
+    # ------------------------------------------------------------------
+    def __call__(self, params, bn, start_img, start_state_norm, start_qpos,
+                 actions, goal_imgs, goal_masks, rng, ret_obs: bool = False):
+        """actions (N, T, A>=2); start_img (H,W,C) float [0,1];
+        goal_imgs (T, H, W, C) pre-indexed per step (goal_idx = min(t, G-1));
+        goal_masks (T, H, W, 1) or None.
+
+        Returns sum_cost (N,) [and obs (T,N,H,W,C) when ret_obs]."""
+        cfg = self.cfg
+        N, T = actions.shape[0], actions.shape[1]
+        actions_tna = jnp.moveaxis(actions, 0, 1)  # (T, N, A)
+
+        if self.use_robot:
+            states, masks = self.robot_trajectory(
+                start_state_norm, start_qpos, actions_tna
+            )
+        else:
+            states = jnp.zeros((T + 1, N, 5), jnp.float32)
+            masks = jnp.zeros(
+                (T + 1, N, cfg.image_height, cfg.image_width, 1), jnp.float32
+            )
+
+        curr_img = jnp.broadcast_to(
+            start_img, (N,) + start_img.shape
+        ).astype(jnp.float32)
+
+        model = get_model(cfg)
+        carry0 = {
+            "model": model.init_carry(cfg, N, self.dtype),
+            "img": curr_img,
+            "rng": rng,
+        }
+        xs = {
+            "m_t": masks[:-1],
+            "m_t1": masks[1:],
+            "s_t": states[:-1],
+            "s_t1": states[1:],
+            "a": actions_tna,
+            "goal_img": goal_imgs,
+            "goal_mask": (
+                goal_masks
+                if goal_masks is not None
+                else jnp.zeros((T,) + start_img.shape[:-1] + (1,), jnp.float32)
+            ),
+        }
+
+        blackout = cfg.dontcare  # dontcare recon loss or black_robot_input
+
+        def scan_step(carry, inp):
+            rng, rng_model = jax.random.split(carry["rng"])
+            curr = carry["img"]
+            if blackout:
+                curr = L.zero_robot_region(inp["m_t"], curr)
+            m_in, r_in, _ = _conditioning(
+                cfg, inp["m_t"], inp["m_t1"], inp["s_t"], inp["s_t1"],
+                None, None, False,
+            )
+            out, model_carry, _ = _model_step(
+                cfg, params, bn, carry["model"], None,
+                use_curr_skip=None, x_j=curr, m_in=m_in, r_in=r_in,
+                hm_in=None, a_j=inp["a"], rng=rng_model, next_inputs=None,
+                train=False, sample_mean=cfg.sample_mean,
+            )
+            next_img = svg.composite(out["x_pred"], curr).astype(jnp.float32)
+            if blackout:
+                next_img = L.zero_robot_region(inp["m_t1"], next_img)
+            reward = self.cost(
+                next_img, inp["goal_img"],
+                curr_mask=inp["m_t1"], goal_mask=inp["goal_mask"],
+            )
+            new_carry = {"model": model_carry, "img": next_img, "rng": rng}
+            emit = (reward, next_img) if ret_obs else reward
+            return new_carry, emit
+
+        _, emitted = jax.lax.scan(scan_step, carry0, xs)
+        if ret_obs:
+            rewards, obs = emitted
+        else:
+            rewards = emitted
+        sum_cost = rewards[-1] if cfg.sparse_cost else jnp.sum(rewards, axis=0)
+        if ret_obs:
+            return sum_cost, obs
+        return sum_cost
+
+
+class TrajectorySampler:
+    """Host-facing API with the reference's contract
+    (reference: src/cem/trajectory_sampler.py:15-199).
+
+    generate_model_rollouts(action_sequences, start, goal) -> dict with
+    "sum_cost" (N,), and "topk_idx"/"obs" when ret_obs.
+    """
+
+    def __init__(self, cfg: Config, params, bn, **engine_kw):
+        self.cfg = cfg
+        self.params = params
+        self.bn = bn
+        self.engine = RolloutEngine(cfg, **engine_kw)
+        self._jit_cost = jax.jit(
+            functools.partial(self.engine.__call__, ret_obs=False)
+        )
+        self._jit_obs = jax.jit(
+            functools.partial(self.engine.__call__, ret_obs=True)
+        )
+
+    def _frame_shift(self, state):
+        """franka/wx250s eef states shift into the locobot frame
+        (reference: trajectory_sampler.py:95-99)."""
+        state = np.asarray(state, np.float32).copy()
+        if self.cfg.experiment == "control_franka":
+            state[:2] += LOCO_FRANKA_DIFF
+        elif self.cfg.experiment == "control_wx250s":
+            state[:2] += np.array([-0.3, 0.0], np.float32)
+        return state
+
+    def prepare_goals(self, goal: DemoGoalState, T: int):
+        """Per-step goal arrays with goal_idx = min(t, G-1)
+        (reference: trajectory_sampler.py:154-158)."""
+        imgs = [np.asarray(g, np.float32) for g in goal.imgs]
+        imgs = [g / 255.0 if g.max() > 1.5 else g for g in imgs]
+        idx = np.minimum(np.arange(T), len(imgs) - 1)
+        goal_imgs = np.stack([imgs[i] for i in idx])
+        goal_masks = None
+        if goal.masks is not None:
+            ms = [np.asarray(m, np.float32).reshape(imgs[0].shape[:2] + (1,))
+                  for m in goal.masks]
+            goal_masks = np.stack([ms[i] for i in idx])
+        return goal_imgs, goal_masks
+
+    def generate_model_rollouts(self, action_sequences, start: State,
+                                goal: DemoGoalState, opt_traj=None,
+                                ret_obs: bool = False,
+                                suppress_print: bool = True, rng=None):
+        cfg = self.cfg
+        acts = np.asarray(action_sequences, np.float32)
+        if opt_traj is not None:
+            opt = np.asarray(opt_traj, np.float32)
+            if opt.shape[-1] < acts.shape[-1]:
+                opt = np.pad(opt, ((0, 0), (0, acts.shape[-1] - opt.shape[-1])))
+            acts = np.concatenate([acts, opt[None]], 0)
+        N, T = acts.shape[0], acts.shape[1]
+
+        img = np.asarray(start.img, np.float32)
+        if img.max() > 1.5:
+            img = img / 255.0
+        state_raw = self._frame_shift(start.state)
+        state_norm = normalize(state_raw, LOCOBOT_LOW[: len(state_raw)],
+                               LOCOBOT_HIGH[: len(state_raw)])
+        qpos = np.zeros(5, np.float32)
+        if start.qpos is not None:
+            q = np.asarray(start.qpos, np.float32).ravel()
+            qpos[: min(5, len(q))] = q[:5]
+        goal_imgs, goal_masks = self.prepare_goals(goal, T)
+        if rng is None:
+            rng = jax.random.PRNGKey(cfg.seed)
+
+        fn = self._jit_obs if ret_obs else self._jit_cost
+        result = fn(self.params, self.bn, jnp.asarray(img),
+                    jnp.asarray(state_norm), jnp.asarray(qpos),
+                    jnp.asarray(acts), jnp.asarray(goal_imgs),
+                    None if goal_masks is None else jnp.asarray(goal_masks),
+                    rng)
+
+        rollouts = {}
+        if ret_obs:
+            sum_cost, obs = result
+            obs = np.moveaxis(np.asarray(obs), 0, 1)  # (N, T, H, W, C)
+        else:
+            sum_cost = result
+        sum_cost = np.asarray(sum_cost)
+        if opt_traj is not None:
+            rollouts["optimal_sum_cost"] = sum_cost[-1]
+            if ret_obs:
+                rollouts["optimal_obs"] = obs[-1]
+            sum_cost = sum_cost[:-1]
+        rollouts["sum_cost"] = sum_cost
+        if ret_obs:
+            topk_idx = np.argsort(sum_cost)[-cfg.topk:]
+            rollouts["topk_idx"] = topk_idx
+            rollouts["obs"] = obs[topk_idx]
+        return rollouts

@@ -1,0 +1,180 @@
+"""Planning stack tests: costs vs independent numpy re-derivation, rollout
+engine shapes/finiteness, on-device CEM behavior (reference semantics:
+src/cem/cem.py:56-111, src/cem/trajectory_sampler.py:36-199,
+src/prediction/losses.py:172-335)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from robot_aware_control_tpu.config import Config
+from robot_aware_control_tpu.models.registry import get_model
+from robot_aware_control_tpu.planning.cem import CEMPolicy, PickCEMPolicy
+from robot_aware_control_tpu.planning.cost import (
+    RobotWorldCost,
+    img_dontcare_cost,
+    img_l2_cost,
+    robot_l2_cost,
+)
+from robot_aware_control_tpu.planning.rollout import RolloutEngine, TrajectorySampler
+from robot_aware_control_tpu.utils.state import DemoGoalState, State
+
+PLAN_CFG = Config(
+    model="svg",
+    g_dim=16,
+    z_dim=4,
+    image_width=64,
+    image_height=48,
+    action_dim=5,
+    robot_dim=5,
+    robot_joint_dim=5,
+    model_use_mask=True,
+    model_use_robot_state=True,
+    reconstruction_loss="dontcare_l1",
+    reward_type="dontcare",
+    compute_dtype="float32",
+    horizon=3,
+    opt_iter=2,
+    action_candidates=8,
+    topk=3,
+    cem_init_std=0.015,
+)
+
+
+# ---------------------------------------------------------------- costs
+def test_img_l2_cost_matches_numpy(rng):
+    cfg = PLAN_CFG
+    c = rng.rand(4, 8, 8, 3).astype(np.float32)
+    g = rng.rand(8, 8, 3).astype(np.float32)
+    got = np.asarray(img_l2_cost(cfg, jnp.asarray(c), jnp.asarray(g)))
+    want = -np.sqrt(((255 * (c - g)) ** 2).reshape(4, -1).sum(1))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_robot_l2_cost_matches_numpy(rng):
+    c = rng.rand(4, 5).astype(np.float32)
+    g = rng.rand(5).astype(np.float32)
+    got = np.asarray(robot_l2_cost(jnp.asarray(c), jnp.asarray(g)))
+    want = -np.sqrt(((c - g) ** 2).sum(1))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_img_dontcare_cost_matches_numpy(rng):
+    cfg = PLAN_CFG
+    c = rng.rand(4, 8, 8, 3).astype(np.float32)
+    g = rng.rand(8, 8, 3).astype(np.float32)
+    cm = (rng.rand(4, 8, 8, 1) > 0.7).astype(np.float32)
+    gm = (rng.rand(8, 8, 1) > 0.7).astype(np.float32)
+    got = np.asarray(
+        img_dontcare_cost(cfg, jnp.asarray(c), jnp.asarray(g),
+                          jnp.asarray(cm), jnp.asarray(gm))
+    )
+    union = (cm > 0.5) | (gm > 0.5)
+    keep = 1.0 - union.astype(np.float32)
+    d = ((255 * (c - g)) * keep) ** 2
+    loss = np.sqrt(d.reshape(4, -1).sum(1))
+    loss /= np.maximum(keep.reshape(4, -1).sum(1), 1.0)
+    np.testing.assert_allclose(got, -loss, rtol=1e-5)
+
+
+def test_dontcare_cost_ignores_robot_region(rng):
+    """Differences entirely inside the mask union must not change the cost."""
+    cfg = PLAN_CFG
+    c = rng.rand(1, 8, 8, 3).astype(np.float32)
+    g = c[0].copy()
+    cm = np.zeros((1, 8, 8, 1), np.float32)
+    cm[0, :4] = 1.0
+    c2 = c.copy()
+    c2[0, :4] += 0.5  # only masked rows differ
+    gm = np.zeros((8, 8, 1), np.float32)
+    r1 = np.asarray(img_dontcare_cost(cfg, jnp.asarray(c), jnp.asarray(g),
+                                      jnp.asarray(cm), jnp.asarray(gm)))
+    r2 = np.asarray(img_dontcare_cost(cfg, jnp.asarray(c2), jnp.asarray(g),
+                                      jnp.asarray(cm), jnp.asarray(gm)))
+    np.testing.assert_allclose(r1, r2, atol=1e-6)
+
+
+# ------------------------------------------------------------- rollouts
+@pytest.fixture(scope="module")
+def svg_model():
+    cfg = PLAN_CFG
+    params, bn = get_model(cfg).init(jax.random.PRNGKey(0), cfg)
+    return cfg, params, bn
+
+
+def _start_goal(cfg, rng):
+    h, w = cfg.image_height, cfg.image_width
+    start = State(
+        img=rng.rand(h, w, 3).astype(np.float32),
+        state=np.array([0.3, 0.0, 0.15, 0, 0], np.float32),
+        qpos=np.zeros(5, np.float32),
+    )
+    goal = DemoGoalState(
+        imgs=[rng.rand(h, w, 3).astype(np.float32) for _ in range(2)],
+        masks=[np.zeros((h, w), np.float32) for _ in range(2)],
+    )
+    return start, goal
+
+
+def test_rollout_engine_costs(svg_model, rng):
+    cfg, params, bn = svg_model
+    sampler = TrajectorySampler(cfg, params, bn)
+    start, goal = _start_goal(cfg, rng)
+    acts = rng.uniform(-0.05, 0.05, (6, 2, 5)).astype(np.float32)
+    out = sampler.generate_model_rollouts(acts, start, goal)
+    assert out["sum_cost"].shape == (6,)
+    assert np.all(np.isfinite(out["sum_cost"]))
+    assert np.all(out["sum_cost"] <= 0)  # rewards are negated distances
+
+
+def test_rollout_ret_obs_topk(svg_model, rng):
+    cfg, params, bn = svg_model
+    sampler = TrajectorySampler(cfg, params, bn)
+    start, goal = _start_goal(cfg, rng)
+    acts = rng.uniform(-0.05, 0.05, (6, 2, 5)).astype(np.float32)
+    out = sampler.generate_model_rollouts(acts, start, goal, ret_obs=True)
+    assert out["obs"].shape == (cfg.topk, 2, cfg.image_height, cfg.image_width, 3)
+    assert out["topk_idx"].shape == (cfg.topk,)
+    # topk really are the best
+    best = np.sort(out["sum_cost"])[-cfg.topk:]
+    np.testing.assert_allclose(
+        np.sort(out["sum_cost"][out["topk_idx"]]), best
+    )
+
+
+def test_opt_traj_cost_reported(svg_model, rng):
+    cfg, params, bn = svg_model
+    sampler = TrajectorySampler(cfg, params, bn)
+    start, goal = _start_goal(cfg, rng)
+    acts = rng.uniform(-0.05, 0.05, (4, 2, 5)).astype(np.float32)
+    opt = np.zeros((2, 2), np.float32)
+    out = sampler.generate_model_rollouts(acts, start, goal, opt_traj=opt)
+    assert out["sum_cost"].shape == (4,)  # opt excluded from candidates
+    assert np.isfinite(out["optimal_sum_cost"])
+
+
+# ------------------------------------------------------------------ CEM
+def test_cem_policy_plan_shape_and_bounds(svg_model, rng):
+    cfg, params, bn = svg_model
+    policy = CEMPolicy(cfg, params, bn)
+    start, goal = _start_goal(cfg, rng)
+    plan = policy.get_action(start, goal)
+    assert plan.shape == (cfg.horizon - 1, 2)
+    assert np.all(np.abs(plan) <= 0.05 + 1e-6)
+    # deterministic given the same seed inputs
+    plan2 = policy.get_action(start, goal)
+    np.testing.assert_allclose(plan, plan2)
+
+
+def test_pick_cem_gripper_clamp(svg_model, rng):
+    cfg, params, bn = svg_model
+    cfg4 = cfg.replace(action_dim=4)
+    params4, bn4 = get_model(cfg4).init(jax.random.PRNGKey(1), cfg4)
+    policy = PickCEMPolicy(cfg4, params4, bn4)
+    start, goal = _start_goal(cfg4, rng)
+    plan = policy.get_action(start, goal)
+    assert plan.shape == (cfg4.horizon - 1, 4)
+    assert np.all(plan[:, -1] <= 0.0 + 1e-6)
+    assert np.all(plan[:, -1] >= -0.01 - 1e-6)
+    assert np.all(np.abs(plan) <= 1.0 + 1e-6)
