@@ -40,12 +40,14 @@ class CEMPolicy:
     """Locobot/real-robot planar CEM (reference: src/cem/cem.py:14-111)."""
 
     action_dim = 2
-    pad_to = 5
     zero_candidate = True
 
     def __init__(self, cfg: Config, params, bn, horizon=None, opt_iter=None,
                  action_candidates=None, topk=None, init_std=None, **engine_kw):
         self.cfg = cfg
+        # sampled planar actions are zero-padded to the model's action space
+        # (reference: cem.py:86 pads 2-D planar actions to 5-D robonet actions)
+        self.pad_to = cfg.action_dim
         self.params = params
         self.bn = bn
         self.horizon = horizon or cfg.horizon
@@ -161,7 +163,6 @@ class PickCEMPolicy(CEMPolicy):
     (reference: src/cem/pick/cem.py:50-112)."""
 
     action_dim = 4
-    pad_to = 4
     zero_candidate = False
 
     def init_mean_std(self, T: int):

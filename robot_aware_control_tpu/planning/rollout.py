@@ -105,6 +105,15 @@ class RolloutEngine:
         )
         masks = self.renderer_thick.render(qpos)
         states_norm = normalize(states_raw, self.low[None], self.high[None])
+        # pad/truncate to the model's robot_dim, mirroring the data layer
+        # (reference: robonet_dataset.py:209-223 pads states to robot_dim)
+        rd = self.cfg.robot_dim
+        if states_norm.shape[-1] < rd:
+            pad = jnp.zeros(states_norm.shape[:-1] + (rd - states_norm.shape[-1],),
+                            states_norm.dtype)
+            states_norm = jnp.concatenate([states_norm, pad], -1)
+        elif states_norm.shape[-1] > rd:
+            states_norm = states_norm[..., :rd]
         return states_norm, masks
 
     # ------------------------------------------------------------------
@@ -124,7 +133,7 @@ class RolloutEngine:
                 start_state_norm, start_qpos, actions_tna
             )
         else:
-            states = jnp.zeros((T + 1, N, 5), jnp.float32)
+            states = jnp.zeros((T + 1, N, cfg.robot_dim), jnp.float32)
             masks = jnp.zeros(
                 (T + 1, N, cfg.image_height, cfg.image_width, 1), jnp.float32
             )
