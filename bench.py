@@ -1,0 +1,99 @@
+"""Benchmark: CEM planning throughput (model rollouts/sec), the north-star
+metric from BASELINE.json config #4.
+
+One "rollout" = one candidate action sequence propagated through the SVG
+model over the full horizon with robot IK + mask rendering + robot-aware
+costs — exactly what the reference's TrajectorySampler produces per
+candidate (reference: src/cem/trajectory_sampler.py:36-199). Here the whole
+CEM optimization (opt_iter x [sample -> K rollouts -> topk -> refit]) is one
+jitted device program (robot_aware_control_tpu/planning/cem.py), so the
+measured time includes everything the reference spends host-side (scalar
+IK, serial MuJoCo mask renders, candidate micro-batching, numpy syncs).
+
+vs_baseline denominator: the reference publishes no numbers (BASELINE.md);
+REFERENCE_ROLLOUTS_PER_SEC below is a documented estimate of the A100
+PyTorch reference on the same config (N=100 candidates, horizon 5, opt_iter
+10: ~10 plans/sec upper bound from per-step MuJoCo mask rendering + chunked
+GPU forwards), to be replaced by a measured number when an A100 host is
+available.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import numpy as np
+
+REFERENCE_ROLLOUTS_PER_SEC = 1000.0  # A100 PyTorch estimate (see docstring)
+
+
+def main():
+    smoke = bool(int(os.environ.get("BENCH_SMOKE", "0")))
+
+    from robot_aware_control_tpu.config import Config
+    from robot_aware_control_tpu.models.registry import get_model
+    from robot_aware_control_tpu.planning.cem import CEMPolicy
+    from robot_aware_control_tpu.utils.state import DemoGoalState, State
+
+    cfg = Config(
+        model="svg",
+        g_dim=64 if smoke else 256,
+        z_dim=16 if smoke else 64,
+        image_height=48,
+        image_width=64,
+        action_dim=5,
+        robot_dim=5,
+        robot_joint_dim=5,
+        model_use_mask=True,
+        model_use_future_mask=True,
+        model_use_robot_state=True,
+        reconstruction_loss="dontcare_l1",
+        reward_type="dontcare",
+        compute_dtype="bfloat16",
+        horizon=5,
+        opt_iter=10,
+        action_candidates=16 if smoke else 100,
+        topk=5,
+        cem_init_std=0.015,
+    )
+    params, bn = get_model(cfg).init(jax.random.PRNGKey(0), cfg)
+    policy = CEMPolicy(cfg, params, bn)
+
+    rng = np.random.RandomState(0)
+    h, w = cfg.image_height, cfg.image_width
+    start = State(
+        img=rng.rand(h, w, 3).astype(np.float32),
+        state=np.array([0.3, 0.0, 0.15, 0.0, 0.0], np.float32),
+        qpos=np.zeros(5, np.float32),
+    )
+    goal = DemoGoalState(
+        imgs=[rng.rand(h, w, 3).astype(np.float32) for _ in range(4)],
+        masks=[np.zeros((h, w), np.float32) for _ in range(4)],
+    )
+
+    # warm-up / compile
+    policy.get_action(start, goal, ep_num=0, step=0)
+
+    reps = 2 if smoke else 5
+    t0 = time.perf_counter()
+    for i in range(reps):
+        policy.get_action(start, goal, ep_num=1, step=i)
+    elapsed = time.perf_counter() - t0
+
+    rollouts = reps * cfg.opt_iter * cfg.action_candidates
+    rps = rollouts / elapsed
+    print(json.dumps({
+        "metric": "cem_model_rollouts_per_sec",
+        "value": round(rps, 2),
+        "unit": "rollouts/s (K x H model steps each, full CEM on device)",
+        "vs_baseline": round(rps / REFERENCE_ROLLOUTS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
