@@ -1,0 +1,418 @@
+"""Training runtime: the `PredictionTrainer` loop and CLI.
+
+TPU-native rebuild of the reference trainer (reference:
+src/prediction/trainer.py:53-1471, invoked as
+`python -um src.prediction.multirobot_trainer`). The reference steps the
+model frame-by-frame in Python, mutating module hidden state and calling
+`.backward()` per window; here the whole window is one jitted
+scan-train-step (training/step.py) and the host loop only does data
+slicing, scheduling, checkpointing, eval and plotting.
+
+Loop structure preserved:
+  * niter epochs x epoch_size batches (trainer.py:753-768), each batch a
+    T=video_length video sliced into floor(T/window) train windows with
+    optional random snippets (trainer.py:259-283),
+  * scheduled-sampling prob k/(k+e^(step/k)) per optimizer step
+    (trainer.py:132-147) — evaluated host-side, passed as a scalar,
+  * finetune experiments run the robot model (analytical or learned) to
+    replace masks/states before the step (trainer.py:294-319),
+  * checkpoint every checkpoint_interval epochs with auto-resume from the
+    newest ckpt (trainer.py:770-772,829-897),
+  * eval every eval_interval epochs: 1-step + autoregressive, best-of-3
+    prior samples by PSNR for svg finetune (trainer.py:491-563), transfer
+    set for zero-shot robots (trainer.py:786-790), eval gifs.
+
+Data parallel: batches shard over a 1-D "data" mesh; params/opt state are
+replicated and XLA inserts the gradient all-reduce over ICI.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from robot_aware_control_tpu.config import Config, argparser
+from robot_aware_control_tpu.data import loader as data_loader
+from robot_aware_control_tpu.data.synthetic import SyntheticDataset
+from robot_aware_control_tpu.models import copy_model
+from robot_aware_control_tpu.models.registry import get_model
+from robot_aware_control_tpu.models import robot_mlp
+from robot_aware_control_tpu.ops import losses as L
+from robot_aware_control_tpu.parallel import mesh as pmesh
+from robot_aware_control_tpu.robot.analytical import get_robot_model
+from robot_aware_control_tpu.robot.mask_renderer import CapsuleMaskRenderer
+from robot_aware_control_tpu.training import checkpoint as ckpt
+from robot_aware_control_tpu.training.logger import RunLogger, make_log_folder
+from robot_aware_control_tpu.training.plot import eval_gif
+from robot_aware_control_tpu.training.step import (
+    make_eval_step,
+    make_train_step,
+)
+
+_WINDOW_KEYS = ("images", "masks", "states", "qpos", "heatmaps")
+
+
+class PredictionTrainer:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.log_dir = make_log_folder(cfg)
+        self.logger = RunLogger(cfg, self.log_dir)
+        self._step = 0
+        self._start_epoch = 0
+        self._video_rng = np.random.RandomState(cfg.seed)
+        self._key = jax.random.PRNGKey(cfg.seed)
+
+        self.model = get_model(cfg) if cfg.model != "copy" else copy_model
+        if cfg.model != "copy":
+            self.params, self.bn = self.model.init(
+                jax.random.PRNGKey(cfg.seed), cfg
+            )
+            self.train_step, self.tx = make_train_step(cfg)
+            self.opt_state = self.tx.init(self.params)
+            self.eval_step_ar = make_eval_step(cfg, autoregressive=True)
+            self.eval_step_1 = make_eval_step(cfg, autoregressive=False)
+        else:
+            self.params = self.bn = self.opt_state = None
+
+        # data-parallel mesh (single device degrades gracefully)
+        ndev = cfg.num_devices or len(jax.devices())
+        self.mesh = pmesh.get_mesh(ndev) if ndev > 1 else None
+        if self.mesh is not None and self.params is not None:
+            self.params = pmesh.replicate(self.mesh, self.params)
+            self.bn = pmesh.replicate(self.mesh, self.bn)
+            self.opt_state = pmesh.replicate(self.mesh, self.opt_state)
+
+        # robot model for finetune experiments (trainer.py:123-130)
+        self.robot_model = None
+        self.learned_robot = None
+        if "finetune" in cfg.experiment and (
+            cfg.model_use_mask or cfg.model_use_robot_state
+        ):
+            if cfg.learned_robot_model:
+                self.learned_robot = self._load_learned_robot_model()
+            else:
+                self.robot_model = get_robot_model(cfg)
+
+    # ------------------------------------------------------------------
+    def _load_learned_robot_model(self):
+        """Load {joint_model, gripper_model} params (reference:
+        trainer.py:205-231, ckpt contract trainer.py:839-844)."""
+        cfg = self.cfg
+        keys = jax.random.split(jax.random.PRNGKey(0), 2)
+        joint = robot_mlp.joint_pos_predictor_init(keys[0], cfg)
+        grip = robot_mlp.gripper_state_predictor_init(keys[1], cfg)
+        if cfg.robot_model_ckpt:
+            trees, _ = ckpt.load_checkpoint(
+                cfg.robot_model_ckpt,
+                {"joint_model": joint, "gripper_model": grip},
+            )
+            joint, grip = trees["joint_model"], trees["gripper_model"]
+        renderer = CapsuleMaskRenderer(
+            (cfg.image_height, cfg.image_width), thick=False,
+            modified=cfg.modified,
+        )
+
+        @jax.jit
+        def predict(joint_p, grip_p, states0, qpos0, actions):
+            """states0/qpos0 (B, D); actions (T-1, B, A). Autoregressive
+            delta rollout + capsule mask render."""
+            def step(carry, a):
+                s, q = carry
+                s2 = s + robot_mlp.gripper_state_predictor(grip_p, s, a)
+                q2 = q + robot_mlp.joint_pos_predictor(joint_p, q, a)
+                return (s2, q2), (s2, q2)
+
+            (_, _), (ss, qq) = jax.lax.scan(step, (states0, qpos0), actions)
+            ss = jnp.concatenate([states0[None], ss], 0)
+            qq = jnp.concatenate([qpos0[None], qq], 0)
+            masks = renderer.render(qq)
+            return ss, masks
+
+        return {"joint": joint, "grip": grip, "fn": predict}
+
+    # ------------------------------------------------------------------
+    def _setup_data(self):
+        """Experiment-dispatched loader factory (trainer.py:899-947)."""
+        cfg = self.cfg
+        self.transfer_loader = None
+        if cfg.experiment == "synthetic" or cfg.dataset == "synthetic":
+            train = SyntheticDataset(cfg, cfg.batch_size, seed=cfg.seed,
+                                     num_batches=max(cfg.epoch_size, 1))
+            test = SyntheticDataset(cfg, cfg.test_batch_size,
+                                    seed=cfg.seed + 1, num_batches=2)
+            return train, test
+        if "finetune" in cfg.experiment:
+            return data_loader.create_finetune_loaders(cfg)
+        train, test = data_loader.create_loaders(cfg)
+        try:
+            self.transfer_loader = data_loader.create_transfer_loader(cfg)
+        except FileNotFoundError:
+            self.transfer_loader = None
+        return train, test
+
+    # ------------------------------------------------------------------
+    def _sched_prob(self) -> float:
+        """Probability of feeding ground truth (trainer.py:132-139)."""
+        if not self.cfg.scheduled_sampling:
+            return 1.0
+        k = float(self.cfg.scheduled_sampling_k)
+        return k / (k + float(np.exp(min(self._step / k, 50.0))))
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _window(self, batch: Dict, s: int, e: int) -> Dict:
+        out = {}
+        for k in _WINDOW_KEYS:
+            if k in batch:
+                out[k] = batch[k][s:e]
+        out["actions"] = batch["actions"][s:e - 1]
+        if "high_movement" in batch:
+            out["batch_weight"] = np.where(
+                np.asarray(batch["high_movement"]), self.cfg.movement_weight, 1.0
+            ).astype(np.float32)
+        return out
+
+    def _apply_robot_model(self, window: Dict, batch: Dict) -> Dict:
+        """Replace masks/states with robot-model predictions on the finetune
+        path (trainer.py:294-319). Keeps true masks for eval metrics."""
+        cfg = self.cfg
+        data = {
+            "states": jnp.asarray(window["states"]),
+            "qpos": jnp.asarray(window["qpos"]),
+            "actions": jnp.asarray(window["actions"]),
+            "low": jnp.asarray(batch["low"]),
+            "high": jnp.asarray(batch["high"]),
+        }
+        if self.learned_robot is not None:
+            states, masks = self.learned_robot["fn"](
+                self.learned_robot["joint"], self.learned_robot["grip"],
+                data["states"][0], data["qpos"][0], data["actions"],
+            )
+        else:
+            states, masks = self.robot_model.predict_batch(data)
+        out = dict(window)
+        out["pred_masks"] = masks
+        out["states"] = states
+        out["masks_model_input"] = masks
+        return out
+
+    def _device_batch(self, window: Dict) -> Dict:
+        arrs = {k: np.asarray(v) for k, v in window.items()
+                if not isinstance(v, (list, str))}
+        if self.mesh is not None:
+            return pmesh.shard_batch(self.mesh, arrs, batch_axis_index=1)
+        return {k: jnp.asarray(v) for k, v in arrs.items()}
+
+    # ------------------------------------------------------------------
+    def _train_video(self, batch: Dict) -> Dict[str, float]:
+        """Slice a video batch into train windows (trainer.py:259-324)."""
+        cfg = self.cfg
+        T = len(batch["images"])
+        window = cfg.n_past + cfg.n_future
+        num = max(T // window, 1)
+        agg = defaultdict(float)
+        for i in range(num):
+            if cfg.random_snippet and T > window:
+                s = self._video_rng.randint(0, T - window + 1)
+            else:
+                s = i * window
+            w = self._window(batch, s, s + window)
+            if self.robot_model is not None or self.learned_robot is not None:
+                w = self._apply_robot_model(w, batch)
+                w["masks"] = w.pop("masks_model_input")
+                w.pop("pred_masks", None)
+            w.pop("qpos", None)
+            dev = self._device_batch(w)
+            self.params, self.bn, self.opt_state, metrics = self.train_step(
+                self.params, self.bn, self.opt_state, dev,
+                self._next_key(), jnp.float32(self._sched_prob()),
+            )
+            self._step += 1
+            for k, v in metrics.items():
+                agg[k] += float(v) / num
+        return dict(agg)
+
+    # ------------------------------------------------------------------
+    def _eval_video(self, batch: Dict, autoregressive=True) -> Dict[str, float]:
+        """Eval over n_eval windows, best-of-3 prior samples for svg
+        finetune (trainer.py:491-563)."""
+        cfg = self.cfg
+        T = len(batch["images"])
+        window = cfg.n_eval
+        num = max(T // window, 1)
+        num_samples = (
+            3 if autoregressive and cfg.model == "svg"
+            and "finetune" in cfg.experiment else 1
+        )
+        samples = [defaultdict(float) for _ in range(num_samples)]
+        step_fn = self.eval_step_ar if autoregressive else self.eval_step_1
+        for i in range(num):
+            s = i * window
+            if s + window > T:
+                break
+            w = self._window(batch, s, s + window)
+            if self.robot_model is not None or self.learned_robot is not None:
+                w = self._apply_robot_model(w, batch)
+                w.pop("masks_model_input", None)
+            w.pop("qpos", None)
+            dev = self._device_batch(w)
+            for n in range(num_samples):
+                per_step, _ = step_fn(self.params, self.bn, dev, self._next_key())
+                for k, v in per_step.items():
+                    samples[n][k] += float(np.mean(np.asarray(v))) / num
+        samples.sort(key=lambda d: d.get("psnr", 0.0), reverse=True)
+        return dict(samples[0])
+
+    def _eval_epoch(self, test_iter, num_batches: int = 2, prefix: str = "eval/"):
+        agg = defaultdict(float)
+        n = 0
+        for batch in test_iter:
+            for mode, tag in ((False, "1step_"), (True, "autoreg_")):
+                m = self._eval_video(batch, autoregressive=mode)
+                for k, v in m.items():
+                    agg[f"{tag}{k}"] += v
+            n += 1
+            if n >= num_batches:
+                break
+        return {k: v / max(n, 1) for k, v in agg.items()}, n
+
+    def _plot_eval(self, batch: Dict, epoch: int):
+        cfg = self.cfg
+        T = len(batch["images"])
+        if T < cfg.n_eval:
+            return
+        w = self._window(batch, 0, cfg.n_eval)
+        w.pop("qpos", None)
+        dev = self._device_batch(w)
+        _, preds = self.eval_step_ar(self.params, self.bn, dev, self._next_key())
+        eval_gif(
+            os.path.join(self.log_dir, f"eval_{epoch}.gif"),
+            np.asarray(w["images"][1:]), np.asarray(preds),
+            masks=np.asarray(w["masks"][1:]),
+        )
+
+    # ------------------------------------------------------------------
+    def _save(self, epoch: int):
+        trees = {"params": self.params, "bn": self.bn, "opt": self.opt_state}
+        path = ckpt.save_checkpoint(self.log_dir, self._step, trees)
+        self.logger.info(f"saved checkpoint {path} (epoch {epoch})")
+
+    def _resume(self):
+        path = ckpt.latest_checkpoint(self.log_dir)
+        if path is None:
+            return
+        templates = {"params": self.params, "bn": self.bn, "opt": self.opt_state}
+        trees, step = ckpt.load_checkpoint(path, templates)
+        self.params, self.bn, self.opt_state = (
+            trees["params"], trees["bn"], trees["opt"],
+        )
+        self._step = step
+        spv = max(
+            (self.cfg.video_length // (self.cfg.n_past + self.cfg.n_future)), 1
+        )
+        self._start_epoch = step // max(self.cfg.epoch_size * spv, 1)
+        self.logger.info(f"auto-resumed from {path} at step {step}")
+
+    def load_checkpoint(self, path: str, finetune: bool = False):
+        """Explicit load; finetune skips optimizer and resets step
+        (trainer.py:892-896)."""
+        templates = {"params": self.params, "bn": self.bn}
+        if not finetune:
+            templates["opt"] = self.opt_state
+        trees, step = ckpt.load_checkpoint(path, templates)
+        self.params, self.bn = trees["params"], trees["bn"]
+        if not finetune:
+            self.opt_state = trees["opt"]
+            self._step = step
+
+    # ------------------------------------------------------------------
+    def train(self):
+        cfg = self.cfg
+        if cfg.model == "copy":
+            return self.copy_baseline()
+        train_loader, test_loader = self._setup_data()
+        if cfg.dynamics_model_ckpt:
+            self.load_checkpoint(
+                cfg.dynamics_model_ckpt, finetune="finetune" in cfg.experiment
+            )
+        self._resume()
+        train_iter = (
+            train_loader.infinite() if hasattr(train_loader, "infinite")
+            else iter(train_loader)
+        )
+        for epoch in range(self._start_epoch, cfg.niter):
+            epoch_metrics = defaultdict(float)
+            for b in range(cfg.epoch_size):
+                batch = next(train_iter)
+                metrics = self._train_video(batch)
+                for k, v in metrics.items():
+                    epoch_metrics[k] += v / cfg.epoch_size
+            self.logger.scalars(epoch_metrics, self._step, prefix="train/")
+            self.logger.info(
+                f"epoch {epoch} step {self._step} "
+                + " ".join(f"{k}={v:.4f}" for k, v in epoch_metrics.items())
+            )
+            if (epoch + 1) % cfg.checkpoint_interval == 0:
+                self._save(epoch)
+            if (epoch + 1) % cfg.eval_interval == 0:
+                ev, _ = self._eval_epoch(iter(test_loader))
+                self.logger.scalars(ev, self._step, prefix="eval/")
+                self.logger.info(
+                    "eval " + " ".join(f"{k}={v:.4f}" for k, v in ev.items())
+                )
+                if self.transfer_loader is not None:
+                    tv, _ = self._eval_epoch(iter(self.transfer_loader))
+                    self.logger.scalars(tv, self._step, prefix="transfer/")
+                try:
+                    self._plot_eval(next(iter(test_loader)), epoch)
+                except StopIteration:
+                    pass
+        self._save(cfg.niter - 1)
+        return self.params
+
+    # ------------------------------------------------------------------
+    def copy_baseline(self):
+        """CopyModel world-error floor (trainer.py:794-827)."""
+        cfg = self.cfg
+        _, test_loader = self._setup_data()
+        agg = defaultdict(float)
+        n = 0
+        for batch in test_loader:
+            x = jnp.asarray(batch["images"])
+            m = jnp.asarray(batch["masks"])
+            T = x.shape[0]
+            for t in range(1, min(T, cfg.n_eval)):
+                pred = copy_model.step(x[t - 1], x[t], m[t])
+                agg["world_loss"] += float(
+                    L.world_mse_criterion(pred, x[t], m[t])
+                )
+                agg["robot_loss"] += float(
+                    L.robot_mse_criterion(pred, x[t], m[t])
+                )
+                n += 1
+            break
+        metrics = {k: v / max(n, 1) for k, v in agg.items()}
+        self.logger.scalars(metrics, 0, prefix="copy/")
+        self.logger.info(
+            "copy baseline " + " ".join(f"{k}={v:.5f}" for k, v in metrics.items())
+        )
+        return metrics
+
+
+def main(argv=None):
+    cfg, unparsed = argparser(argv)
+    if unparsed:
+        raise ValueError(f"unknown flags: {unparsed}")
+    trainer = PredictionTrainer(cfg)
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()

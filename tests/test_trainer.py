@@ -1,0 +1,75 @@
+"""Trainer loop tests: end-to-end epoch, checkpoint auto-resume, copy
+baseline (reference contracts: src/prediction/trainer.py:736-897)."""
+
+import os
+
+import numpy as np
+
+from robot_aware_control_tpu.config import Config
+from robot_aware_control_tpu.training import checkpoint as ckpt
+from robot_aware_control_tpu.training.trainer import PredictionTrainer
+
+
+def _cfg(tmp_path, **kw):
+    base = dict(
+        model="det",
+        experiment="synthetic",
+        g_dim=8,
+        image_height=16,
+        image_width=16,
+        batch_size=2,
+        test_batch_size=2,
+        niter=1,
+        epoch_size=1,
+        n_past=1,
+        n_future=2,
+        n_eval=3,
+        video_length=4,
+        checkpoint_interval=1,
+        eval_interval=5,
+        compute_dtype="float32",
+        robot_dim=5,
+        action_dim=5,
+        robot_joint_dim=5,
+        model_use_mask=True,
+        model_use_robot_state=True,
+        reconstruction_loss="dontcare_l1",
+        log_dir=str(tmp_path),
+        jobname="t",
+        num_devices=1,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def test_trainer_epoch_and_resume(tmp_path):
+    cfg = _cfg(tmp_path)
+    tr = PredictionTrainer(cfg)
+    tr.train()
+    path = ckpt.latest_checkpoint(tr.log_dir)
+    assert path is not None and path.endswith(".npz")
+    assert os.path.exists(os.path.join(tr.log_dir, "metrics.jsonl"))
+
+    # resume continues from the saved step
+    tr2 = PredictionTrainer(cfg)
+    tr2._resume()
+    assert tr2._step == tr._step
+
+
+def test_finetune_load_resets_step(tmp_path):
+    cfg = _cfg(tmp_path)
+    tr = PredictionTrainer(cfg)
+    tr.train()
+    path = ckpt.latest_checkpoint(tr.log_dir)
+
+    cfg2 = _cfg(tmp_path, jobname="t2")
+    tr2 = PredictionTrainer(cfg2)
+    tr2.load_checkpoint(path, finetune=True)
+    assert tr2._step == 0  # finetune resets step (trainer.py:892-896)
+
+
+def test_copy_baseline(tmp_path):
+    cfg = _cfg(tmp_path, model="copy", jobname="copy")
+    tr = PredictionTrainer(cfg)
+    metrics = tr.copy_baseline()
+    assert "world_loss" in metrics and np.isfinite(metrics["world_loss"])
