@@ -1,0 +1,239 @@
+"""Environment base: explicit sim state, pure physics, calibrated rendering.
+
+The reference base class wraps a mutable `mujoco_py.MjSim` with
+flattened-state get/set for rollout branching (reference:
+src/env/robotics/robot_env.py:20-217, state API :202-217). TPU-native
+redesign: the simulator state is an explicit pytree (`SimState`) and the
+transition is a pure function `physics_step(state, action)`, so
+
+  * the host env is a thin stateful shell for gym-style interaction,
+  * ground-truth CEM rollouts vmap `physics_step` over candidates on device
+    (replacing the reference's multiprocessing env fan-out,
+    src/cem/mujoco/trajectory_sampler.py:230-316),
+  * get/set flattened state is a pytree copy — branching is free.
+
+Contact model: quasi-static tabletop pushing. The gripper tip is a sphere;
+when a step moves the tip within contact radius of a block, the block
+translates with the tip displacement (clipped to the table region). Pick
+uses attach/release flags driven by the gripper action channel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from robot_aware_control_tpu.envs.renderer import SceneRenderer
+from robot_aware_control_tpu.robot import locobot_kinematics as lk
+
+# locobot workspace (reference: src/cem/trajectory_sampler.py:22-23)
+WS_LOW = np.array([0.015, -0.3, 0.1], np.float32)
+WS_HIGH = np.array([0.55, 0.3, 0.4], np.float32)
+TABLE_Z = 0.1
+ACTION_SCALE = 0.05  # eef position control scale (locobot_table_env.py:190)
+CONTACT_RADIUS = 0.045  # tip + block half-extent
+
+
+class SimState(NamedTuple):
+    eef: jnp.ndarray        # (3,) gripper tip world position
+    qpos: jnp.ndarray       # (5,) arm joints [yaw, shoulder, elbow, wrist, roll]
+    obj_pos: jnp.ndarray    # (K, 3) block centers
+    gripper: jnp.ndarray    # () gripper openness in [0, 1] (1 = open)
+    attached: jnp.ndarray   # (K,) 1.0 if block is held
+
+
+def solve_qpos(eef, cur_qpos, pitch=lk.DEFAULT_PITCH, roll=lk.DEFAULT_ROLL):
+    theta, _ = lk.ik(eef, -pitch, cur_qpos[..., :4])
+    return jnp.concatenate(
+        [theta, jnp.full_like(theta[..., :1], roll)], -1
+    )
+
+
+def push_objects(obj_pos, attached, tip_prev, tip_next,
+                 contact_radius=CONTACT_RADIUS, obj_half=0.02):
+    """Quasi-static push: blocks within contact radius of the tip's end
+    position translate with the tip displacement (xy only); attached blocks
+    follow the tip exactly."""
+    delta = (tip_next - tip_prev)[None, :]
+    d = tip_next[None, :2] - obj_pos[:, :2]
+    near = jnp.sqrt(jnp.sum(d * d, -1)) < contact_radius
+    low_enough = tip_next[2] < (TABLE_Z + 2.5 * obj_half + 0.03)
+    pushed = (near & low_enough)[:, None] & (attached[:, None] < 0.5)
+    new_xy = jnp.clip(
+        obj_pos[:, :2] + jnp.where(pushed, delta[:, :2], 0.0),
+        WS_LOW[:2] + obj_half, WS_HIGH[:2] - obj_half,
+    )
+    held = attached[:, None] > 0.5
+    held_xy = jnp.broadcast_to(tip_next[None, :2], new_xy.shape)
+    held_z = jnp.maximum(tip_next[2] - 0.04, TABLE_Z + obj_half)
+    z = jnp.where(
+        held[:, 0], held_z, obj_pos[:, 2]
+    )
+    xy = jnp.where(held, held_xy, new_xy)
+    return jnp.concatenate([xy, z[:, None]], -1)
+
+
+def physics_step(state: SimState, action, action_scale=ACTION_SCALE,
+                 pick: bool = False, obj_half: float = 0.02) -> SimState:
+    """Pure transition. action (A,): [:3] eef delta (x0.05, clipped to the
+    workspace as in locobot_table_env.py:186-199); pick envs read a 4th
+    gripper channel (locobot_pick_env.py:163-238)."""
+    a = jnp.clip(action[:3] if action.shape[-1] >= 3 else
+                 jnp.concatenate([action, jnp.zeros(3 - action.shape[-1])]),
+                 -1.0, 1.0)
+    tip_next = jnp.clip(
+        state.eef + a * action_scale, jnp.asarray(WS_LOW), jnp.asarray(WS_HIGH)
+    )
+    grip = state.gripper
+    attached = state.attached
+    if pick:
+        close_cmd = action[3] < -0.0025  # gripper channel in [-0.01, 0]
+        grip = jnp.where(close_cmd, 0.0, 1.0)
+        d = tip_next[None, :2] - state.obj_pos[:, :2]
+        near = jnp.sqrt(jnp.sum(d * d, -1)) < CONTACT_RADIUS
+        near_z = jnp.abs(tip_next[2] - state.obj_pos[:, 2]) < 0.06
+        grab = close_cmd & near & near_z
+        # release all when opening; keep holding otherwise
+        attached = jnp.where(
+            close_cmd, jnp.maximum(attached, grab.astype(jnp.float32)),
+            jnp.zeros_like(attached),
+        )
+        # dropped blocks fall to the table
+    obj_pos = push_objects(state.obj_pos, attached, state.eef, tip_next,
+                           obj_half=obj_half)
+    if pick:
+        dropped = (state.attached > 0.5) & (attached < 0.5)
+        z = jnp.where(dropped, TABLE_Z + obj_half, obj_pos[:, 2])
+        obj_pos = obj_pos.at[:, 2].set(z)
+    qpos = solve_qpos(tip_next, state.qpos)
+    return SimState(tip_next, qpos, obj_pos, grip, attached)
+
+
+class RobotEnv:
+    """gym-style shell over the pure physics + renderer."""
+
+    action_dim = 5
+    pick = False
+    num_objects = 1
+    obj_half = 0.02
+    OBJ_COLORS = np.array(
+        [[0.85, 0.20, 0.15], [0.15, 0.55, 0.85], [0.20, 0.75, 0.30],
+         [0.90, 0.75, 0.15]], np.float32,
+    )
+
+    def __init__(self, config=None, seed: Optional[int] = None):
+        self._config = config
+        h = getattr(config, "image_height", 48) if config else 48
+        w = getattr(config, "image_width", 64) if config else 64
+        self._img_shape = (h, w)
+        self.renderer = SceneRenderer((h, w), table_z=TABLE_Z)
+        self.rng = np.random.RandomState(
+            seed if seed is not None else getattr(config, "seed", 0) if config else 0
+        )
+        self.max_episode_length = (
+            getattr(config, "max_episode_length", 20) if config else 20
+        )
+        K = self.num_objects
+        self._colors = self.OBJ_COLORS[:K]
+        self._step_fn = jax.jit(functools.partial(
+            physics_step, pick=self.pick, obj_half=self.obj_half
+        ))
+        self._render_fn = jax.jit(self._render)
+        self._t = 0
+        self.state: SimState = None  # set by reset()
+
+    # ------------------------------------------------------------------
+    def _render(self, state: SimState):
+        return self.renderer.render_scene(
+            state.qpos, state.obj_pos, np.full(self.num_objects, self.obj_half,
+                                               np.float32), self._colors,
+        )
+
+    def _sample_state(self) -> SimState:
+        eef = np.array([
+            self.rng.uniform(0.18, 0.32),
+            self.rng.uniform(-0.15, 0.15),
+            lk.PUSH_HEIGHT,
+        ], np.float32)
+        objs = np.stack([
+            np.array([
+                self.rng.uniform(0.25, 0.45),
+                self.rng.uniform(-0.18, 0.18),
+                TABLE_Z + self.obj_half,
+            ], np.float32)
+            for _ in range(self.num_objects)
+        ])
+        qpos = np.asarray(solve_qpos(jnp.asarray(eef), jnp.zeros(5)), np.float32)
+        return SimState(
+            jnp.asarray(eef), jnp.asarray(qpos), jnp.asarray(objs),
+            jnp.float32(1.0), jnp.zeros(self.num_objects),
+        )
+
+    def reset(self):
+        self.state = self._sample_state()
+        self._t = 0
+        return self._get_obs()
+
+    def _get_obs(self):
+        img, mask = self._render_fn(self.state)
+        eef = np.asarray(self.state.eef)
+        obs = {
+            "observation": np.asarray(img, np.float32),
+            "masks": np.asarray(mask, np.float32),
+            "states": np.array([*eef, 0.0, 0.0], np.float32),
+            "qpos": np.asarray(self.state.qpos, np.float32),
+        }
+        return obs
+
+    def step(self, action):
+        action = np.clip(np.asarray(action, np.float32), -1.0, 1.0)
+        self.state = self._step_fn(self.state, jnp.asarray(action))
+        self._t += 1
+        obs = self._get_obs()
+        done = self._t >= self.max_episode_length
+        info = {"reward": 0.0}
+        return obs, 0.0, done, info
+
+    # --- rollout branching (reference: robot_env.py:202-217) -----------
+    def get_flattened_state(self):
+        return np.concatenate([
+            np.asarray(self.state.eef).ravel(),
+            np.asarray(self.state.qpos).ravel(),
+            np.asarray(self.state.obj_pos).ravel(),
+            np.atleast_1d(np.asarray(self.state.gripper)),
+            np.asarray(self.state.attached).ravel(),
+        ]).astype(np.float32)
+
+    def set_flattened_state(self, flat):
+        flat = np.asarray(flat, np.float32)
+        K = self.num_objects
+        i = 0
+        eef = flat[i:i + 3]; i += 3
+        qpos = flat[i:i + 5]; i += 5
+        obj = flat[i:i + 3 * K].reshape(K, 3); i += 3 * K
+        grip = flat[i]; i += 1
+        att = flat[i:i + K]
+        self.state = SimState(
+            jnp.asarray(eef), jnp.asarray(qpos), jnp.asarray(obj),
+            jnp.float32(grip), jnp.asarray(att),
+        )
+
+    def render(self, mode="rgb_array"):
+        img, _ = self._render_fn(self.state)
+        return np.asarray(img)
+
+    def get_robot_mask(self):
+        _, mask = self._render_fn(self.state)
+        return np.asarray(mask)
+
+    def robot_kinematics(self, qpos):
+        """Pure FK + mask query (reference: clutter_push.py:96-117) —
+        stateless here by construction."""
+        q = jnp.asarray(qpos, jnp.float32)
+        eef = lk.eef_position(q)
+        mask = self.renderer.render(q)
+        return np.asarray(eef), np.asarray(mask)

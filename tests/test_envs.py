@@ -1,0 +1,115 @@
+"""Environment layer tests: obs contracts, physics, state get/set branching,
+scripted demos, scene rendering (reference contracts:
+src/env/robotics/locobot_table_env.py:186-256, locobot_pick_env.py:163-238,
+robot_env.py:202-217)."""
+
+import numpy as np
+import pytest
+
+from robot_aware_control_tpu.envs import (
+    ClutterPushEnv,
+    FetchPushEnv,
+    LocobotPickEnv,
+    LocobotPushEnv,
+    LocobotTableEnv,
+)
+from robot_aware_control_tpu.envs.base import WS_HIGH, WS_LOW
+
+
+@pytest.mark.parametrize("cls", [LocobotTableEnv, LocobotPushEnv,
+                                 LocobotPickEnv, ClutterPushEnv, FetchPushEnv])
+def test_obs_contract(cls):
+    env = cls(seed=0)
+    obs = env.reset()
+    assert obs["observation"].shape == (48, 64, 3)
+    assert obs["observation"].min() >= 0 and obs["observation"].max() <= 1
+    assert obs["masks"].shape == (48, 64, 1)
+    assert obs["masks"].sum() > 0  # arm visible
+    assert obs["states"].shape == (5,)
+    assert obs["qpos"].shape == (5,)
+    a = np.zeros(env.action_dim, np.float32)
+    obs2, rew, done, info = env.step(a)
+    assert obs2["observation"].shape == (48, 64, 3)
+
+
+def test_workspace_clipping():
+    env = LocobotTableEnv(seed=0)
+    env.reset()
+    for _ in range(30):
+        env.step(np.array([1, 1, 1, 0, 0], np.float32))
+    eef = np.asarray(env.state.eef)
+    assert np.all(eef <= WS_HIGH + 1e-5) and np.all(eef >= WS_LOW - 1e-5)
+
+
+def test_push_physics_moves_block():
+    env = LocobotPushEnv(seed=3)
+    env.reset()
+    block0 = np.asarray(env.state.obj_pos[0]).copy()
+    # drive the tip straight through the block
+    for _ in range(40):
+        eef = np.asarray(env.state.eef)
+        delta = block0[:2] + np.array([0.05, 0]) - eef[:2]
+        env.step(np.clip(delta / 0.05, -1, 1))
+    block1 = np.asarray(env.state.obj_pos[0])
+    assert np.linalg.norm(block1[:2] - block0[:2]) > 0.01
+
+
+def test_state_get_set_roundtrip():
+    env = LocobotTableEnv(seed=0)
+    env.reset()
+    flat = env.get_flattened_state()
+    env.step(np.array([1, 0, 0, 0, 0], np.float32))
+    moved = env.get_flattened_state()
+    assert not np.allclose(flat, moved)
+    env.set_flattened_state(flat)
+    np.testing.assert_allclose(env.get_flattened_state(), flat, atol=1e-6)
+
+
+def test_pick_attach_and_release():
+    env = LocobotPickEnv(seed=1)
+    env.reset()
+    block = np.asarray(env.state.obj_pos[0]).copy()
+    # hover above the block (above push-contact height), then descend
+    for target_z in (0.22, 0.135):
+        target = np.array([block[0], block[1], target_z], np.float32)
+        for _ in range(15):
+            eef = np.asarray(env.state.eef)
+            d = np.clip((target - eef) / 0.05, -1, 1)
+            env.step(np.array([*d, 0.0], np.float32))
+    env.step(np.array([0, 0, 0, -0.01], np.float32))  # close
+    assert np.asarray(env.state.attached).max() > 0.5
+    # lift: block follows
+    for _ in range(3):
+        env.step(np.array([0, 0, 1, -0.01], np.float32))
+    assert np.asarray(env.state.obj_pos[0, 2]) > block[2] + 0.01
+    env.step(np.array([0, 0, 0, 0.0], np.float32))  # open -> release
+    assert np.asarray(env.state.attached).max() < 0.5
+
+
+@pytest.mark.parametrize("cls,behavior", [
+    (LocobotTableEnv, "temporal_random_robot"),
+    (LocobotPushEnv, "straight_push"),
+    (LocobotPickEnv, "pick_place"),
+    (ClutterPushEnv, "push_one"),
+])
+def test_scripted_demos(cls, behavior):
+    env = cls(seed=0)
+    hist = env.generate_demo(behavior)
+    assert len(hist["obs"]) >= 2
+    assert len(hist["ac"]) == len(hist["obs"]) - 1 or len(hist["ac"]) > 0
+    assert hist["obs"][0]["observation"].shape == (48, 64, 3)
+
+
+def test_obj_qpos_in_pick_obs():
+    env = LocobotPickEnv(seed=0)
+    obs = env.reset()
+    assert obs["obj_qpos"].shape == (7,)  # pos + quat
+
+
+def test_robot_kinematics_pure():
+    env = ClutterPushEnv(seed=0)
+    env.reset()
+    flat = env.get_flattened_state()
+    eef, mask = env.robot_kinematics(np.zeros(5, np.float32))
+    assert eef.shape == (3,) and mask.shape == (48, 64, 1)
+    np.testing.assert_allclose(env.get_flattened_state(), flat)  # no mutation
