@@ -1,0 +1,253 @@
+"""Demo-following visual-MPC episode runners.
+
+Reference parity: `EpisodeRunner` (reference: src/mbrl/episode_runner.py:
+25-296) and the push/pick variants (push_episode_runner.py:20-458,
+pick_episode_runner.py:20-446): load a demonstration, then loop
+  CEM plan -> execute `replan_every` actions -> cost-thresholded subgoal
+  advance -> episode stats (goal_progress, push_progress, final_obj_dist)
+until the demo is consumed or max_episode_length is hit.
+
+The planning itself runs fully on device (planning/cem.py /
+planning/gt_rollout.py); the runner is the thin host orchestration shell.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+from typing import List, Optional
+
+import numpy as np
+
+from robot_aware_control_tpu.config import Config
+from robot_aware_control_tpu.data import demo_io
+from robot_aware_control_tpu.envs import (
+    ClutterPushEnv,
+    LocobotPickEnv,
+    LocobotPushEnv,
+)
+from robot_aware_control_tpu.planning.cem import (
+    CEMPolicy,
+    PickCEMPolicy,
+    PushCEMPolicy,
+)
+from robot_aware_control_tpu.planning.cost import (
+    RobotWorldCost,
+    img_dontcare_cost,
+    img_l2_cost,
+    robot_l2_cost,
+)
+from robot_aware_control_tpu.planning.gt_rollout import (
+    DemoCEMPolicy,
+    GTCEMPolicy,
+    GTPickCEMPolicy,
+    GTPushCEMPolicy,
+)
+from robot_aware_control_tpu.training.logger import RunLogger, make_log_folder
+from robot_aware_control_tpu.training.plot import save_gif
+from robot_aware_control_tpu.utils.state import DemoGoalState, State
+
+
+class EpisodeRunner:
+    """Clutter-push runner (reference: episode_runner.py:25-296)."""
+
+    env_cls = ClutterPushEnv
+    policy_cls = CEMPolicy
+    gt_policy_cls = GTCEMPolicy
+
+    def __init__(self, cfg: Config, params=None, bn=None):
+        self.cfg = cfg
+        self.log_dir = make_log_folder(cfg)
+        self.logger = RunLogger(cfg, self.log_dir)
+        self.env = self.env_cls(cfg, seed=cfg.seed)
+        self.policy = DemoCEMPolicy(
+            cfg, self.env, params, bn,
+            policy_cls=self.policy_cls, gt_policy_cls=self.gt_policy_cls,
+        )
+        self.cost = RobotWorldCost(cfg)
+        self._stats = defaultdict(list)
+
+    # ------------------------------------------------------------------
+    def _world_cost_scalar(self, curr_img, goal_img, curr_mask, goal_mask):
+        cfg = self.cfg
+        c = np.asarray(curr_img, np.float32)[None]
+        if cfg.reward_type == "dontcare":
+            v = img_dontcare_cost(cfg, c, goal_img, curr_mask[None], goal_mask)
+        else:
+            v = img_l2_cost(cfg, c, goal_img)
+        return float(np.asarray(v)[0])
+
+    def _pick_next_goal(self, curr: State, goal: State) -> bool:
+        """Advance the subgoal when robot+world costs pass their success
+        thresholds (reference: episode_runner.py:46-82). Costs are negated
+        distances; thresholds are on distances."""
+        cfg = self.cfg
+        if not cfg.sequential_subgoal:
+            raise NotImplementedError("skip-subgoal mode")
+        robot_ok = True
+        if cfg.robot_cost_weight != 0 and curr.state is not None:
+            d = -float(np.asarray(
+                robot_l2_cost(np.asarray(curr.state)[None], goal.state)
+            )[0])
+            robot_ok = d < cfg.robot_cost_success
+        world_ok = True
+        if cfg.world_cost_weight != 0:
+            d = -self._world_cost_scalar(curr.img, goal.img, curr.mask, goal.mask)
+            world_ok = d < cfg.world_cost_success
+        if robot_ok and world_ok:
+            self._g_i += 1
+            return True
+        return False
+
+    # ------------------------------------------------------------------
+    def run_episode(self, ep_num: int, demo_path: str):
+        cfg = self.cfg
+        env = self.env
+        demo = demo_io.load_demo(demo_path)
+        ts = cfg.demo_timescale
+        goal_key = (
+            cfg.demo_type if cfg.demo_type in demo else "observations"
+        )
+        goal_imgs = demo[goal_key][::ts]
+        goal_masks = demo["masks"][::ts]
+        goal_robots = demo["robot_state"][::ts]
+        goal_obj_poses = demo.get("obj_poses")
+        if goal_obj_poses is not None:
+            goal_obj_poses = goal_obj_poses[::ts]
+        pushed_obj = int(demo.get("pushed_obj", 0))
+        num_goals = len(goal_imgs)
+        self._g_i = max(cfg.subgoal_start, 1)
+        self._step = 0
+
+        obs = env.reset()
+        gif = []
+        opt_actions = demo.get("actions")
+        push_length = 0.2
+        if goal_obj_poses is not None:
+            push_length = max(
+                float(np.linalg.norm(
+                    goal_obj_poses[-1][pushed_obj][:2]
+                    - goal_obj_poses[0][pushed_obj][:2]
+                )), 1e-3,
+            )
+
+        finish_demo = False
+        while True:
+            goals = DemoGoalState(
+                imgs=list(goal_imgs[self._g_i:]),
+                states=list(goal_robots[self._g_i:]),
+                masks=list(goal_masks[self._g_i:]),
+            )
+            curr = State(
+                img=obs["observation"], state=obs["states"],
+                mask=obs["masks"], qpos=obs["qpos"],
+            )
+            opt = None
+            if cfg.demo_cost and opt_actions is not None:
+                opt = opt_actions[self._g_i - 1:]
+            actions = self.policy.get_action(curr, goals, ep_num, self._step,
+                                             opt_traj=opt)
+            terminate = False
+            for action in actions[: cfg.replan_every]:
+                obs, _, _, _ = env.step(action)
+                curr = State(
+                    img=obs["observation"], state=obs["states"],
+                    mask=obs["masks"], qpos=obs["qpos"],
+                )
+                g_idx = min(self._g_i, num_goals - 1)
+                g_state = State(
+                    img=goal_imgs[g_idx], state=goal_robots[g_idx],
+                    mask=goal_masks[g_idx],
+                )
+                self._step += 1
+                gif.append(np.concatenate(
+                    [obs["observation"],
+                     np.asarray(goal_imgs[g_idx], np.float32)
+                     / (255.0 if goal_imgs.dtype == np.uint8 else 1.0)], axis=1,
+                ))
+                self._pick_next_goal(curr, g_state)
+                finish_demo = self._g_i >= num_goals
+                if finish_demo or self._step >= cfg.max_episode_length - 1:
+                    terminate = True
+                    break
+            if terminate:
+                break
+
+        # stats (reference: episode_runner.py:196-219)
+        final_obj_dist = 0.0
+        if goal_obj_poses is not None:
+            curr_obj = np.asarray(env.state.obj_pos)[pushed_obj][:2]
+            final_obj_dist = float(np.linalg.norm(
+                curr_obj - goal_obj_poses[-1][pushed_obj][:2]
+            ))
+        goal_progress = (self._g_i - cfg.subgoal_start) / max(
+            num_goals - cfg.subgoal_start, 1
+        )
+        self._stats["goal_progress"].append(goal_progress)
+        self._stats["push_progress"].append(
+            (push_length - final_obj_dist) / push_length
+        )
+        self._stats["final_obj_dist"].append(final_obj_dist)
+        self._stats["success"].append(float(finish_demo))
+        if cfg.record_video_interval and ep_num % cfg.record_video_interval == 0:
+            save_gif(os.path.join(
+                self.log_dir, f"ep_{ep_num}_{'s' if finish_demo else 'f'}.gif"
+            ), gif)
+        return {k: v[-1] for k, v in self._stats.items()}
+
+    def run(self, demo_paths: Optional[List[str]] = None):
+        """(reference: episode_runner.py:226-296)"""
+        cfg = self.cfg
+        if demo_paths is None:
+            demo_dir = cfg.object_demo_dir or cfg.demo_dir
+            demo_paths = demo_io.list_demos(demo_dir)
+        if not demo_paths:
+            raise FileNotFoundError("no demos found; run demo collection")
+        n = min(cfg.num_episodes, len(demo_paths))
+        for i in range(n):
+            stats = self.run_episode(i, demo_paths[i % len(demo_paths)])
+            self.logger.scalars(stats, i, prefix="episode/")
+            self.logger.info(
+                f"episode {i}: " + " ".join(f"{k}={v:.3f}" for k, v in stats.items())
+            )
+        summary = {k: float(np.mean(v)) for k, v in self._stats.items()
+                   if k != "demo_name"}
+        self.logger.scalars(summary, n, prefix="summary/")
+        self.logger.info(
+            "summary: " + " ".join(f"{k}={v:.3f}" for k, v in summary.items())
+        )
+        return summary
+
+
+class PushEpisodeRunner(EpisodeRunner):
+    """(reference: src/mbrl/push_episode_runner.py:20-458)"""
+
+    env_cls = LocobotPushEnv
+    policy_cls = PushCEMPolicy
+    gt_policy_cls = GTPushCEMPolicy
+
+
+class PickEpisodeRunner(EpisodeRunner):
+    """(reference: src/mbrl/pick_episode_runner.py:20-446)"""
+
+    env_cls = LocobotPickEnv
+    policy_cls = PickCEMPolicy
+    gt_policy_cls = GTPickCEMPolicy
+
+
+def main(argv=None):
+    from robot_aware_control_tpu.config import argparser
+
+    cfg, _ = argparser(argv)
+    runner_cls = {
+        "FetchPush": EpisodeRunner,
+        "LocobotTable": PushEpisodeRunner,
+        "LocobotPush": PushEpisodeRunner,
+        "LocobotPick": PickEpisodeRunner,
+    }.get(cfg.env, EpisodeRunner)
+    runner = runner_cls(cfg)
+    runner.run()
+
+
+if __name__ == "__main__":
+    main()

@@ -186,6 +186,9 @@ class RobotEnv:
             "masks": np.asarray(mask, np.float32),
             "states": np.array([*eef, 0.0, 0.0], np.float32),
             "qpos": np.asarray(self.state.qpos, np.float32),
+            # privileged object poses for demo collection / runner metrics
+            # (reference obs expose obj qpos, locobot_pick_env.py:163-238)
+            "obj_poses": np.asarray(self.state.obj_pos, np.float32),
         }
         return obs
 
@@ -224,6 +227,16 @@ class RobotEnv:
 
     def render(self, mode="rgb_array"):
         img, _ = self._render_fn(self.state)
+        return np.asarray(img)
+
+    def render_object_only(self):
+        """Robot-less goal image (reference 'object_only_demo' images,
+        src/mbrl/episode_runner.py:92-99)."""
+        img, _ = self.renderer.render_scene(
+            self.state.qpos, self.state.obj_pos,
+            np.full(self.num_objects, self.obj_half, np.float32),
+            self._colors, include_arm=False,
+        )
         return np.asarray(img)
 
     def get_robot_mask(self):

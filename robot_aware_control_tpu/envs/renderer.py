@@ -99,12 +99,15 @@ class SceneRenderer(CapsuleMaskRenderer):
         hit = cheb <= r_pix[..., None, None]
         return hit, z
 
-    def render_scene(self, qpos, obj_pos, obj_half, obj_colors):
+    def render_scene(self, qpos, obj_pos, obj_half, obj_colors,
+                     include_arm: bool = True):
         """Full scene RGB + robot mask.
 
         qpos (..., >=4); obj_pos (..., K, 3); obj_half (K,);
         obj_colors (K, 3). Returns (rgb (..., h, w, 3), mask (..., h, w, 1)).
-        """
+        include_arm=False renders the robot-less scene — the "object only"
+        goal images central to robot-aware control (reference demo types,
+        src/mbrl/episode_runner.py:92-99)."""
         mask = self.render(qpos)  # (..., h, w, 1)
         hit, z = self.render_objects(obj_pos, obj_half, obj_colors)
         bg = jnp.broadcast_to(self._bg, mask.shape[:-3] + self._bg.shape)
@@ -120,10 +123,12 @@ class SceneRenderer(CapsuleMaskRenderer):
             )[..., 0, :, :]
             ck = colors[idx]  # (..., 3)
             img = jnp.where(hk[..., None], ck[..., None, None, :], img)
+        if not include_arm:
+            return img, jnp.zeros_like(mask)
         # arm drawn last (closest to camera in this workspace)
         pts = lk.fk_points(qpos, self.l3)
         u, v, zz = self._project(pts)
-        arm = self.render(qpos)[..., 0] > 0.5
+        arm = mask[..., 0] > 0.5
         # gripper tip highlighted for visual distinctiveness
         tip_r = self._K[0, 0] * 0.025 / jnp.maximum(zz[..., 4], 1e-4)
         px = self._px.reshape((1,) * (u.ndim - 1) + self._px.shape)

@@ -1,0 +1,79 @@
+"""End-to-end control tests: demo collection, gt-physics CEM, episode
+runner subgoal loop (reference: src/mbrl/episode_runner.py:25-296,
+src/cem/mujoco/trajectory_sampler.py:132-316)."""
+
+import numpy as np
+import pytest
+
+from robot_aware_control_tpu.config import Config
+from robot_aware_control_tpu.control.episode_runner import PushEpisodeRunner
+from robot_aware_control_tpu.data import demo_io
+from robot_aware_control_tpu.envs import LocobotPushEnv
+from robot_aware_control_tpu.planning.gt_rollout import GTPushCEMPolicy
+from robot_aware_control_tpu.utils.state import DemoGoalState, State
+
+
+def _cfg(tmp_path, **kw):
+    base = dict(
+        env="LocobotPush",
+        use_env_dynamics=True,
+        horizon=3,
+        opt_iter=2,
+        action_candidates=8,
+        topk=3,
+        cem_init_std=0.5,
+        replan_every=1,
+        max_episode_length=4,
+        num_episodes=1,
+        demo_length=5,
+        world_cost_success=1e9,  # always advance: keeps the test fast
+        robot_cost_weight=0.0,
+        reward_type="dense",
+        log_dir=str(tmp_path),
+        jobname="ctl",
+        record_video_interval=0,
+        seed=0,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def test_demo_collection_roundtrip(tmp_path):
+    env = LocobotPushEnv(seed=0)
+    paths = demo_io.collect_demos(env, "straight_push", 1, str(tmp_path))
+    assert len(paths) == 1
+    demo = demo_io.load_demo(paths[0])
+    assert demo["observations"].ndim == 4
+    assert "object_only_demo" in demo
+    assert demo["masks"].shape[:1] == demo["observations"].shape[:1]
+    # object-only images have no robot pixels where the mask was
+    assert demo["object_only_demo"].shape == demo["observations"].shape
+
+
+def test_gt_cem_policy(tmp_path):
+    cfg = _cfg(tmp_path)
+    env = LocobotPushEnv(cfg, seed=0)
+    env.reset()
+    policy = GTPushCEMPolicy(cfg, env)
+    rng = np.random.RandomState(0)
+    start = State(img=env.render(), state=np.asarray(env.state.eef))
+    goal = DemoGoalState(
+        imgs=[rng.rand(48, 64, 3).astype(np.float32)],
+        masks=[np.zeros((48, 64), np.float32)],
+    )
+    plan = policy.get_action(start, goal)
+    assert plan.shape == (cfg.horizon - 1, 2)
+    assert np.all(np.abs(plan) <= 1.0 + 1e-6)
+
+
+def test_push_episode_runner_gt(tmp_path):
+    cfg = _cfg(tmp_path)
+    env = LocobotPushEnv(cfg, seed=1)
+    demo_paths = demo_io.collect_demos(
+        env, "straight_push", 1, str(tmp_path / "demos")
+    )
+    runner = PushEpisodeRunner(cfg)
+    summary = runner.run(demo_paths)
+    assert "goal_progress" in summary
+    assert 0.0 <= summary["goal_progress"] <= 1.0 + 1e-6
+    assert np.isfinite(summary["final_obj_dist"])
