@@ -13,8 +13,25 @@ def get_model(cfg: Config):
         return svg
     if cfg.model == "det":
         return det
+    if cfg.model == "svg_vec":
+        from robot_aware_control_tpu.models import svg_vector
+
+        return svg_vector
+    if cfg.model == "det_vec":
+        from robot_aware_control_tpu.models import svg_vector
+
+        return svg_vector.det
+    if cfg.model in ("cdna_det", "cdna_robonet"):
+        from robot_aware_control_tpu.models import cdna
+
+        return cdna if cfg.model == "cdna_det" else cdna.robonet
     if cfg.model == "copy":
         from robot_aware_control_tpu.models import copy_model
 
         return copy_model
     raise ValueError(f"unknown model {cfg.model!r}")
+
+
+def is_stochastic(cfg: Config) -> bool:
+    """Models with a learned prior/posterior (KL term in the loss)."""
+    return cfg.model in ("svg", "svg_vec")

@@ -43,7 +43,7 @@ from robot_aware_control_tpu.data.norm import (
     normalize,
 )
 from robot_aware_control_tpu.models.registry import get_model
-from robot_aware_control_tpu.models import svg
+from robot_aware_control_tpu.models.common import composite as model_composite
 from robot_aware_control_tpu.models.common import skip_zeros
 from robot_aware_control_tpu.ops import losses as L
 from robot_aware_control_tpu.planning.cost import RobotWorldCost
@@ -179,7 +179,7 @@ class RolloutEngine:
                 hm_in=None, a_j=inp["a"], rng=rng_model, next_inputs=None,
                 train=False, sample_mean=cfg.sample_mean,
             )
-            next_img = svg.composite(out["x_pred"], curr).astype(jnp.float32)
+            next_img = model_composite(cfg, out["x_pred"], curr).astype(jnp.float32)
             if blackout:
                 next_img = L.zero_robot_region(inp["m_t1"], next_img)
             reward = self.cost(

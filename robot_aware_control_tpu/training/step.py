@@ -36,7 +36,8 @@ import optax
 
 from robot_aware_control_tpu.config import Config
 from robot_aware_control_tpu.models import det, svg
-from robot_aware_control_tpu.models.common import skip_zeros
+from robot_aware_control_tpu.models.common import composite as model_composite, skip_zeros
+from robot_aware_control_tpu.models.registry import is_stochastic
 from robot_aware_control_tpu.models.registry import get_model
 from robot_aware_control_tpu.ops import losses as L
 from robot_aware_control_tpu.ops import metrics as M
@@ -59,33 +60,52 @@ def _compute_dtype(cfg: Config):
 
 def _model_step(cfg, params, bn, carry, skip, use_curr_skip, x_j, m_in, r_in,
                 hm_in, a_j, rng, next_inputs, train, force_use_prior=False,
-                sample_mean=False):
+                sample_mean=False, context_image=None):
     """Dispatch one step to the configured model family."""
-    if cfg.model == "svg":
+    if cfg.model in ("svg", "svg_vec"):
+        mod = svg if cfg.model == "svg" else _svg_vector()
         kwargs = {}
         if next_inputs is not None:
             kwargs = dict(
                 next_image=next_inputs["image"],
                 next_mask=next_inputs["mask"],
                 next_robot=next_inputs["robot"],
-                next_heatmap=next_inputs["heatmap"],
             )
-        out, new_carry, new_bn = svg.step(
+            if cfg.model == "svg":
+                kwargs["next_heatmap"] = next_inputs["heatmap"]
+        out, new_carry, new_bn = mod.step(
             cfg, params, bn, carry,
             image=x_j, mask=m_in, robot=r_in, heatmap=hm_in, action=a_j,
             rng=rng, skip=skip, use_curr_skip=use_curr_skip,
             force_use_prior=force_use_prior, sample_mean=sample_mean,
             train=train, **kwargs,
         )
-    elif cfg.model == "det":
-        out, new_carry, new_bn = det.step(
+    elif cfg.model in ("det", "det_vec"):
+        mod = det if cfg.model == "det" else _svg_vector().det
+        out, new_carry, new_bn = mod.step(
             cfg, params, bn, carry, x_j, m_in, r_in, a_j,
             skip=skip, use_curr_skip=use_curr_skip, train=train,
+        )
+        out = dict(out, mu=None, logvar=None, mu_p=None, logvar_p=None)
+    elif cfg.model in ("cdna_det", "cdna_robonet"):
+        from robot_aware_control_tpu.models import cdna
+
+        mod = cdna if cfg.model == "cdna_det" else cdna.robonet
+        out, new_carry, new_bn = mod.step(
+            cfg, params, bn, carry, x_j, m_in, r_in, a_j,
+            context_image=context_image, skip=skip,
+            use_curr_skip=use_curr_skip, train=train,
         )
         out = dict(out, mu=None, logvar=None, mu_p=None, logvar_p=None)
     else:
         raise ValueError(cfg.model)
     return out, new_carry, new_bn
+
+
+def _svg_vector():
+    from robot_aware_control_tpu.models import svg_vector
+
+    return svg_vector
 
 
 def _conditioning(cfg, m_j, m_i, r_j, r_i, hm_j, hm_i, last_step):
@@ -150,7 +170,7 @@ def make_train_step(cfg: Config):
     tx = make_optimizer(cfg)
     dtype = _compute_dtype(cfg)
     window = cfg.n_past + cfg.n_future
-    is_svg = cfg.model == "svg"
+    is_svg = is_stochastic(cfg)
 
     def loss_fn(params, bn_state, batch, rng, sched_prob):
         x = batch["images"]
@@ -210,9 +230,10 @@ def make_train_step(cfg: Config):
                 use_curr_skip=(i <= 1) if not cfg.last_frame_skip else None,
                 x_j=x_j_black, m_in=m_in, r_in=r_in, hm_in=hm_in, a_j=inp["a_j"],
                 rng=rng_model, next_inputs=next_inputs, train=True,
+                context_image=x[cfg.n_past - 1],
             )
 
-            x_pred = svg.composite(out["x_pred"], x_j).astype(jnp.float32)
+            x_pred = model_composite(cfg, out["x_pred"], x_j).astype(jnp.float32)
 
             # freeze skip after the conditioning frames (trainer.py:409-410)
             new_skip = jax.tree_util.tree_map(
@@ -274,7 +295,7 @@ def make_eval_step(cfg: Config, autoregressive: bool = True):
     implement best-of-N sample selection (trainer.py:552-563).
     """
     dtype = _compute_dtype(cfg)
-    is_svg = cfg.model == "svg"
+    is_svg = is_stochastic(cfg)
 
     def eval_step(params, bn_state, batch, rng):
         x = batch["images"]
@@ -330,8 +351,9 @@ def make_eval_step(cfg: Config, autoregressive: bool = True):
                 x_j=x_j_black, m_in=m_in, r_in=r_in, hm_in=hm_in, a_j=inp["a_j"],
                 rng=rng_model, next_inputs=next_inputs, train=False,
                 force_use_prior=True, sample_mean=cfg.sample_mean,
+                context_image=x[cfg.n_past - 1],
             )
-            x_pred = svg.composite(out["x_pred"], x_j).astype(jnp.float32)
+            x_pred = model_composite(cfg, out["x_pred"], x_j).astype(jnp.float32)
             new_skip = jax.tree_util.tree_map(
                 lambda c, s: jnp.where(i <= cfg.n_past, c, s),
                 out["curr_skip"], carry["skip"],
