@@ -76,6 +76,15 @@ class RoboNetHDF5Dataset:
             config.n_past + config.n_future if load_snippet else config.video_length
         )
         self._rng = np.random.RandomState(config.seed if seed is None else seed)
+        # object-movement labels for --load_movement_info/--movement_weight
+        # (reference: robonet_dataset.py:36-48, trainer.py:426-429)
+        self._movement = None
+        if config.load_movement_info and config.world_error_dict:
+            from robot_aware_control_tpu.evaluation.obj_movement import (
+                load_movement_metadata,
+            )
+
+            self._movement = load_movement_metadata(config.world_error_dict)
 
     def __len__(self):
         return len(self._traj_names)
@@ -134,6 +143,8 @@ class RoboNetHDF5Dataset:
             "idx": idx,
             "qpos": qpos,
         }
+        if self._movement is not None:
+            out["high_movement"] = bool(self._movement.get(path, False))
         if cfg.model_use_heatmap:
             from robot_aware_control_tpu.data.heatmaps import create_heatmaps
 

@@ -1,0 +1,80 @@
+"""Checkpoint evaluation drivers.
+
+Reference parity: `evaluate_checkpoint` (reference:
+src/prediction/evaluation/evaluate_checkpoint.py:16-80 — PSNR/SSIM/world
+loss on the transfer set) and `evaluate_fvd` (evaluation/evaluate_fvd.py:14
+— FVD over autoregressively predicted videos)."""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+import jax
+import numpy as np
+
+from robot_aware_control_tpu.config import Config, argparser
+from robot_aware_control_tpu.evaluation.fvd import fvd
+from robot_aware_control_tpu.training.trainer import PredictionTrainer
+
+
+def evaluate_checkpoint(cfg: Config, ckpt_path: str, loader=None):
+    """Returns dict of PSNR/SSIM/world-loss metrics on the transfer (or
+    test) set (reference: evaluate_checkpoint.py:16-34)."""
+    trainer = PredictionTrainer(cfg)
+    trainer.load_checkpoint(ckpt_path, finetune=False)
+    if loader is None:
+        _, loader = trainer._setup_data()
+        if trainer.transfer_loader is not None:
+            loader = trainer.transfer_loader
+    metrics, _ = trainer._eval_epoch(iter(loader), num_batches=4)
+    # world-PSNR derived from the world MSE (reference :24-29)
+    wl = metrics.get("autoreg_world_loss")
+    if wl and wl > 0:
+        metrics["autoreg_world_psnr"] = float(10 * np.log10(1.0 / wl))
+    return metrics
+
+
+def predict_videos(trainer: PredictionTrainer, loader, num_batches=2):
+    """Autoregressive predicted videos + ground truth (B, T, H, W, 3)
+    (reference: trainer.predict_video, trainer.py:1149-1224)."""
+    import jax.numpy as jnp
+
+    real, fake = [], []
+    n = 0
+    for batch in loader:
+        w = trainer._window(batch, 0, trainer.cfg.n_eval)
+        w.pop("qpos", None)
+        dev = trainer._device_batch(w)
+        _, preds = trainer.eval_step_ar(
+            trainer.params, trainer.bn, dev, trainer._next_key()
+        )
+        real.append(np.moveaxis(np.asarray(w["images"][1:]), 0, 1))
+        fake.append(np.moveaxis(np.asarray(preds), 0, 1))
+        n += 1
+        if n >= num_batches:
+            break
+    return np.concatenate(real), np.concatenate(fake)
+
+
+def evaluate_fvd(cfg: Config, ckpt_path: str, loader=None, embed_fn=None):
+    """(reference: evaluation/evaluate_fvd.py:14)"""
+    trainer = PredictionTrainer(cfg)
+    trainer.load_checkpoint(ckpt_path, finetune=False)
+    if loader is None:
+        _, loader = trainer._setup_data()
+    real, fake = predict_videos(trainer, iter(loader))
+    return {"fvd": fvd(real, fake, embed_fn)}
+
+
+def main(argv=None):
+    cfg, unparsed = argparser(argv)
+    ckpt = cfg.dynamics_model_ckpt
+    if ckpt is None:
+        raise ValueError("--dynamics_model_ckpt required")
+    metrics = evaluate_checkpoint(cfg, ckpt)
+    print(json.dumps({k: round(float(v), 5) for k, v in metrics.items()}))
+
+
+if __name__ == "__main__":
+    main()

@@ -19,6 +19,7 @@ Returns (N,) float32 rewards.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from robot_aware_control_tpu.config import Config
@@ -66,6 +67,57 @@ def img_dontcare_cost(cfg: Config, curr_img, goal_img, curr_mask, goal_mask):
         num_world = _bsum(1.0 - union.astype(jnp.float32))
         loss = loss / jnp.maximum(num_world, 1.0)
     return -loss
+
+
+def _gaussian_kernel1d(sigma: float, radius: int):
+    xs = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-(xs ** 2) / (2.0 * sigma ** 2))
+    return k / jnp.sum(k)
+
+
+def gaussian_blur(img, sigma: float, radius: int):
+    """Separable depthwise gaussian blur, NHWC."""
+    k = _gaussian_kernel1d(sigma, radius)
+    c = img.shape[-1]
+    x = img.astype(jnp.float32)
+    kv = jnp.tile(k[:, None, None, None], (1, 1, 1, c))
+    kh = jnp.tile(k[None, :, None, None], (1, 1, 1, c))
+    dn = jax.lax.conv_dimension_numbers(x.shape, kv.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    x = jax.lax.conv_general_dilated(x, kv, (1, 1), "SAME",
+                                     dimension_numbers=dn,
+                                     feature_group_count=c)
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "SAME",
+                                     dimension_numbers=dn,
+                                     feature_group_count=c)
+    return x
+
+
+class InpaintBlurCost:
+    """Gaussian-blurred image MSE cost for the inpaint-blur reward
+    (reference: src/prediction/losses.py:109-154). Matches the reference's
+    skimage-gaussian + uint8 quantization semantics: blur with
+    sigma=blur_sigma truncated to the blur window, round to 1/255 steps,
+    then cost = -MSE (unblurred images use -unblur_cost_scale * MSE)."""
+
+    def __init__(self, cfg: Config):
+        self.sigma = cfg.blur_sigma
+        self.unblur_cost_scale = cfg.unblur_cost_scale
+        # radius from the reference's truncate math: (w-1)/2 - 0.5 pixels
+        self.radius = max(int(((cfg.img_dim * 2 - 1) / 2 - 0.5)), 1)
+
+    def __call__(self, img, goal, blur: bool = True):
+        img = jnp.asarray(img, jnp.float32)
+        goal = jnp.asarray(goal, jnp.float32)
+        if img.ndim == 3:
+            img, goal = img[None], goal[None]
+        scale = -1.0
+        if blur:
+            img = jnp.round(255.0 * gaussian_blur(img, self.sigma, self.radius)) / 255.0
+            goal = jnp.round(255.0 * gaussian_blur(goal, self.sigma, self.radius)) / 255.0
+        else:
+            scale = -1.0 * self.unblur_cost_scale
+        return scale * jnp.mean((img - goal) ** 2)
 
 
 class RobotWorldCost:
