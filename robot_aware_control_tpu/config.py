@@ -201,6 +201,7 @@ class Config:
     demo_dir: str = "demos/fetch_push"
     modified: bool = False
     cyclegan: bool = False
+    cyclegan_ckpt: Optional[str] = None
     goal_image_type: str = "image"
 
     # --- TPU-native additions (no reference equivalent) ---

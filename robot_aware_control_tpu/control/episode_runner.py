@@ -55,7 +55,7 @@ class EpisodeRunner:
     policy_cls = CEMPolicy
     gt_policy_cls = GTCEMPolicy
 
-    def __init__(self, cfg: Config, params=None, bn=None):
+    def __init__(self, cfg: Config, params=None, bn=None, translator=None):
         self.cfg = cfg
         self.log_dir = make_log_folder(cfg)
         self.logger = RunLogger(cfg, self.log_dir)
@@ -66,6 +66,27 @@ class EpisodeRunner:
         )
         self.cost = RobotWorldCost(cfg)
         self._stats = defaultdict(list)
+        # CycleGAN observation translation for cross-domain transfer
+        # (reference: push_episode_runner.py:264-283, --cyclegan flag)
+        self.translator = translator
+        if translator is None and cfg.cyclegan:
+            import jax as _jax
+
+            from robot_aware_control_tpu.baselines.cyclegan import (
+                CycleGAN,
+                CycleGANTranslator,
+            )
+
+            gan = CycleGAN(_jax.random.PRNGKey(cfg.seed))
+            params_gan = gan.params
+            if cfg.cyclegan_ckpt:
+                from robot_aware_control_tpu.training import checkpoint as _ckpt
+
+                trees, _ = _ckpt.load_checkpoint(
+                    cfg.cyclegan_ckpt, {"cyclegan": gan.params}
+                )
+                params_gan = trees["cyclegan"]
+            self.translator = CycleGANTranslator(params_gan, "ab")
 
     # ------------------------------------------------------------------
     def _world_cost_scalar(self, curr_img, goal_img, curr_mask, goal_mask):
@@ -138,8 +159,11 @@ class EpisodeRunner:
                 states=list(goal_robots[self._g_i:]),
                 masks=list(goal_masks[self._g_i:]),
             )
+            curr_img = obs["observation"]
+            if self.translator is not None:
+                curr_img = self.translator(curr_img)
             curr = State(
-                img=obs["observation"], state=obs["states"],
+                img=curr_img, state=obs["states"],
                 mask=obs["masks"], qpos=obs["qpos"],
             )
             opt = None
