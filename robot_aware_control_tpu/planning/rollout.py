@@ -84,6 +84,11 @@ class RolloutEngine:
         )
         self.use_robot = _needs_robot_model(cfg)
         self.dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        # the pallas mask kernel is ~2x the fused-jnp path on TPU
+        # (ops/pallas_kernels.py); fall back to jnp elsewhere
+        from robot_aware_control_tpu.ops.pallas_kernels import on_tpu
+
+        self._use_pallas = on_tpu()
 
     # ------------------------------------------------------------------
     def robot_trajectory(self, start_state_norm, start_qpos, actions_tna):
@@ -103,7 +108,10 @@ class RolloutEngine:
             push_height=self.push_height, pitch=self.default_pitch,
             roll=self.default_roll,
         )
-        masks = self.renderer_thick.render(qpos)
+        if self._use_pallas:
+            masks = self.renderer_thick.render_pallas(qpos)
+        else:
+            masks = self.renderer_thick.render(qpos)
         states_norm = normalize(states_raw, self.low[None], self.high[None])
         # pad/truncate to the model's robot_dim, mirroring the data layer
         # (reference: robonet_dataset.py:209-223 pads states to robot_dim)

@@ -75,6 +75,31 @@ class CapsuleMaskRenderer:
         v = self._K[1, 1] * cam[..., 1] / z + self._K[1, 2]
         return u, v, z
 
+    def segment_params(self, qpos):
+        """FK + projection -> per-capsule pixel-space parameters
+        (..., 4, 6) = [au, av, bu, bv, ra, rb]."""
+        pts = lk.fk_points(qpos, self.l3)
+        u, v, z = self._project(pts)
+        f = self._K[0, 0]
+        r_a = f * self.radii / jnp.maximum(z[..., :-1], 1e-4)
+        r_b = f * self.radii / jnp.maximum(z[..., 1:], 1e-4)
+        return jnp.stack(
+            [u[..., :-1], v[..., :-1], u[..., 1:], v[..., 1:], r_a, r_b], -1
+        )
+
+    def render_pallas(self, qpos, interpret: bool = False):
+        """Pallas-kernel path: one program per mask, all intermediates in
+        VMEM (ops/pallas_kernels.py). Same output as `render`."""
+        from robot_aware_control_tpu.ops.pallas_kernels import (
+            capsule_mask_render,
+        )
+
+        segs = self.segment_params(qpos)
+        lead = segs.shape[:-2]
+        flat = segs.reshape((-1,) + segs.shape[-2:]).astype(jnp.float32)
+        masks = capsule_mask_render(flat, self.h, self.w, interpret=interpret)
+        return masks.reshape(lead + (self.h, self.w, 1))
+
     def render(self, qpos):
         """qpos (..., >=4) -> mask (..., h, w, 1) float32 in {0,1}."""
         pts = lk.fk_points(qpos, self.l3)  # (..., 5, 3)
