@@ -43,7 +43,8 @@ class CEMPolicy:
     zero_candidate = True
 
     def __init__(self, cfg: Config, params, bn, horizon=None, opt_iter=None,
-                 action_candidates=None, topk=None, init_std=None, **engine_kw):
+                 action_candidates=None, topk=None, init_std=None, mesh=None,
+                 **engine_kw):
         self.cfg = cfg
         # sampled planar actions are zero-padded to the model's action space
         # (reference: cem.py:86 pads 2-D planar actions to 5-D robonet actions)
@@ -55,6 +56,14 @@ class CEMPolicy:
         self.num_candidates = action_candidates or cfg.action_candidates
         self.topk = topk or cfg.topk
         self.init_std = init_std if init_std is not None else cfg.cem_init_std
+        # optional device mesh: candidates shard over the "data" axis so very
+        # large K spreads across chips — the TPU answer to the reference's
+        # candidates_batch_size GPU chunking (trajectory_sampler.py:72,123-127)
+        self.mesh = mesh
+        if mesh is not None:
+            n_dev = mesh.devices.size
+            if self.num_candidates % n_dev:
+                self.num_candidates = -(-self.num_candidates // n_dev) * n_dev
         self.engine = RolloutEngine(cfg, **engine_kw)
         self.traj_sampler = TrajectorySampler(cfg, params, bn, **engine_kw)
         self._plan = jax.jit(self._build_plan())
@@ -99,6 +108,12 @@ class CEMPolicy:
                     zeroed = acts.at[-1].set(0.0)
                     acts = jnp.where(i == 0, zeroed, acts)
                 acts = self.clamp(acts)
+                if self.mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    acts = jax.lax.with_sharding_constraint(
+                        acts, NamedSharding(self.mesh, P("data"))
+                    )
                 padded = self.pad(acts)
                 sum_cost = self.engine(
                     params, bn, start_img, start_state_norm, start_qpos,
