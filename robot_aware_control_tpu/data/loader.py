@@ -205,6 +205,35 @@ def create_transfer_loader(config: Config):
                       shuffle=False, drop_last=False)
 
 
+def create_movement_loaders(config: Config):
+    """Loaders restricted to videos labeled high-movement by the copy
+    baseline (reference: robonet_dataloaders.py:210-327 movement-filtered
+    loaders + obj_movement.pkl metadata)."""
+    from robot_aware_control_tpu.data.robonet_hdf5 import RoboNetHDF5Dataset
+    from robot_aware_control_tpu.evaluation.obj_movement import (
+        load_movement_metadata,
+    )
+
+    if not config.world_error_dict:
+        raise ValueError("--world_error_dict required for movement loaders")
+    meta = load_movement_metadata(config.world_error_dict)
+    pairs = [p for p in discover_hdf5(config.data_root) if meta.get(p[0], False)]
+    if not pairs:
+        raise FileNotFoundError("no high-movement videos found")
+    train, test = train_test_split(pairs, config.train_val_split, config.seed)
+
+    def mk(pairs_, seed, bs):
+        ds = RoboNetHDF5Dataset(
+            [p for p, _ in pairs_], [r for _, r in pairs_], config, seed=seed
+        )
+        return DataLoader(ds, bs, num_workers=config.data_threads, seed=seed)
+
+    return (
+        mk(train, config.seed, config.batch_size),
+        mk(test, config.seed + 1, config.test_batch_size),
+    )
+
+
 def create_finetune_loaders(config: Config):
     """Few-shot finetune split: first finetune_num_train files train,
     next finetune_num_test test (reference:

@@ -347,13 +347,24 @@ class PredictionTrainer:
             train_loader.infinite() if hasattr(train_loader, "infinite")
             else iter(train_loader)
         )
+        from robot_aware_control_tpu.utils.profiling import StepTimer
+
+        timer = StepTimer()
+        window = cfg.n_past + cfg.n_future
         for epoch in range(self._start_epoch, cfg.niter):
             epoch_metrics = defaultdict(float)
             for b in range(cfg.epoch_size):
                 batch = next(train_iter)
-                metrics = self._train_video(batch)
+                with timer:
+                    metrics = self._train_video(batch)
                 for k, v in metrics.items():
                     epoch_metrics[k] += v / cfg.epoch_size
+            # frames/sec/chip: batch x window frames per train_video call
+            B = batch["images"].shape[1]
+            spv = max(len(batch["images"]) // window, 1)
+            epoch_metrics["frames_per_sec"] = timer.throughput(
+                B * window * spv
+            ) / max(len(jax.devices()), 1)
             self.logger.scalars(epoch_metrics, self._step, prefix="train/")
             self.logger.info(
                 f"epoch {epoch} step {self._step} "
