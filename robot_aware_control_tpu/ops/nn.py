@@ -58,7 +58,12 @@ def batchnorm_init(key, c):
 
 
 def conv2d(p, x, stride=1, padding="SAME"):
-    """2-D convolution, NHWC x HWIO -> NHWC."""
+    """2-D convolution, NHWC x HWIO -> NHWC.
+
+    No explicit preferred_element_type: the TPU MXU accumulates bf16
+    operands in float32 internally regardless of the requested output
+    dtype, and an f32 output + cast-back breaks the conv VJP's dtype
+    matching under bfloat16 training."""
     dn = lax.conv_dimension_numbers(x.shape, p["w"].shape, ("NHWC", "HWIO", "NHWC"))
     strides = (stride, stride) if isinstance(stride, int) else stride
     y = lax.conv_general_dilated(
@@ -67,16 +72,16 @@ def conv2d(p, x, stride=1, padding="SAME"):
         window_strides=strides,
         padding=padding,
         dimension_numbers=dn,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     if "b" in p:
         y = y + p["b"].astype(y.dtype)
     return y
 
 
 def linear(p, x):
-    y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
-    y = y.astype(x.dtype)
+    # see conv2d: MXU accumulates in f32 internally; explicit f32 output +
+    # cast-back breaks dot VJP dtype matching under bf16
+    y = jnp.dot(x, p["w"].astype(x.dtype))
     if "b" in p:
         y = y + p["b"].astype(y.dtype)
     return y

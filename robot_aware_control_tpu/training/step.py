@@ -262,7 +262,13 @@ def make_train_step(cfg: Config):
             }
             return new_carry, step_losses
 
-        final, step_losses = jax.lax.scan(scan_step, carry0, xs)
+        # rematerialize per-step activations in the backward pass instead of
+        # storing the whole unrolled window (HBM pressure at large batch)
+        step_fn = (
+            jax.checkpoint(scan_step, prevent_cse=False) if cfg.remat
+            else scan_step
+        )
+        final, step_losses = jax.lax.scan(step_fn, carry0, xs)
         totals = jax.tree_util.tree_map(jnp.sum, step_losses)
         loss = totals["recon_loss"]
         if is_svg:
