@@ -66,3 +66,26 @@ def make_movement_metadata(dataset, threshold: float,
 def load_movement_metadata(path: str) -> Dict[str, bool]:
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+def main(argv=None):
+    """CLI driver (reference: measure_obj_movement.py __main__): labels all
+    videos under data_root and writes obj_movement.pkl there."""
+    from robot_aware_control_tpu.config import argparser
+    from robot_aware_control_tpu.data.loader import discover_hdf5
+    from robot_aware_control_tpu.data.robonet_hdf5 import RoboNetHDF5Dataset
+
+    cfg, _ = argparser(argv)
+    pairs = discover_hdf5(cfg.data_root)
+    ds = RoboNetHDF5Dataset([p for p, _ in pairs], [r for _, r in pairs], cfg)
+    key = pairs[0][1] if pairs else "default"
+    threshold = THRESHOLDS.get(key, THRESHOLDS["default"])
+    write_path = os.path.join(cfg.data_root, "obj_movement.pkl")
+    meta = make_movement_metadata(ds, threshold, write_path)
+    n_high = sum(meta.values())
+    print(f"{n_high}/{len(meta)} videos above threshold {threshold}; "
+          f"wrote {write_path}")
+
+
+if __name__ == "__main__":
+    main()
