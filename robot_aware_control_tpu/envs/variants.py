@@ -1,0 +1,98 @@
+"""Environment variants: occlusion, multiview, gym-registration style API.
+
+Reference parity: the occlusion env, multiview pick env and gym variants
+(reference: src/env/robotics/locobot_pick_env* / occlusion / `*Gym*`
+wrappers, ~5,000 LoC of env variants). TPU-native: variants compose the
+pure base env — a static occluder drawn over the observation, a second
+registered camera for multiview stacking, and a `make()` factory keyed by
+env id strings.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple, Type
+
+import numpy as np
+
+from robot_aware_control_tpu.data import calibration as calib
+from robot_aware_control_tpu.envs.base import RobotEnv
+from robot_aware_control_tpu.envs.clutter_push import ClutterPushEnv, FetchPushEnv
+from robot_aware_control_tpu.envs.locobot_pick import LocobotPickEnv
+from robot_aware_control_tpu.envs.locobot_push import LocobotPushEnv
+from robot_aware_control_tpu.envs.locobot_table import LocobotTableEnv
+from robot_aware_control_tpu.envs.renderer import SceneRenderer
+
+
+class OcclusionMixin:
+    """Draws a static occluder bar over observations (reference occlusion
+    env: a scene object blocking part of the camera view). The mask is NOT
+    occluded — robot-awareness must come from the model."""
+
+    OCCLUDER = (0.55, 0.75)  # fractional x-range of the occluded column
+
+    def _get_obs(self):
+        obs = super()._get_obs()
+        img = obs["observation"].copy()
+        w = img.shape[1]
+        x0, x1 = int(self.OCCLUDER[0] * w), int(self.OCCLUDER[1] * w)
+        img[:, x0:x1] = np.array([0.35, 0.33, 0.3], np.float32)
+        obs["observation"] = img
+        return obs
+
+
+class LocobotOcclusionEnv(OcclusionMixin, LocobotTableEnv):
+    pass
+
+
+class MultiviewMixin:
+    """Adds a second camera; observations stack both views vertically
+    (reference multiview pick env + camera_ids flag,
+    src/config/__init__.py:119). The stacked image trains directly with
+    image_height = 2x the per-view height (fully convolutional models)."""
+
+    SECOND_CAMERA_EYE = (0.4, -0.85, 0.65)
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        key = "multiview_c1"
+        calib.register_camera(
+            key, calib.look_at(self.SECOND_CAMERA_EYE, (0.28, 0.0, 0.15))
+        )
+        self.renderer2 = SceneRenderer(self._img_shape, camera_key=key)
+
+    def _get_obs(self):
+        obs = super()._get_obs()
+        img2, mask2 = self.renderer2.render_scene(
+            self.state.qpos, self.state.obj_pos,
+            np.full(self.num_objects, self.obj_half, np.float32),
+            self._colors,
+        )
+        obs["observation"] = np.concatenate(
+            [obs["observation"], np.asarray(img2, np.float32)], axis=0
+        )
+        obs["masks"] = np.concatenate(
+            [obs["masks"], np.asarray(mask2, np.float32)], axis=0
+        )
+        return obs
+
+
+class LocobotPickMultiviewEnv(MultiviewMixin, LocobotPickEnv):
+    pass
+
+
+_REGISTRY: Dict[str, Type[RobotEnv]] = {
+    "LocobotTable": LocobotTableEnv,
+    "LocobotPush": LocobotPushEnv,
+    "LocobotPick": LocobotPickEnv,
+    "LocobotOcclusion": LocobotOcclusionEnv,
+    "LocobotPickMultiview": LocobotPickMultiviewEnv,
+    "ClutterPush": ClutterPushEnv,
+    "FetchPush": FetchPushEnv,
+}
+
+
+def make(env_id: str, config=None, seed=None) -> RobotEnv:
+    """gym.make-style factory over the env registry."""
+    if env_id not in _REGISTRY:
+        raise KeyError(f"unknown env {env_id!r}; have {sorted(_REGISTRY)}")
+    return _REGISTRY[env_id](config, seed=seed)

@@ -61,6 +61,25 @@ def _frame_in_dim(cfg: Config, stochastic: bool) -> int:
     return d
 
 
+def attention_init(key, dim, hidden=32):
+    """Background-attention module (reference: src/prediction/models/
+    base.py:34-62 — present but unused by the reference trainer; kept for
+    API completeness). Scores each feature vector against a learned query."""
+    k1, k2 = jax.random.split(key)
+    return {"q": nn.linear_init(k1, dim, hidden),
+            "k": nn.linear_init(k2, dim, hidden)}
+
+
+def attention(params, feats):
+    """feats (B, T, D) -> attention-weighted sum (B, D)."""
+    q = nn.linear(params["q"], feats.mean(axis=1))        # (B, H)
+    k = nn.linear(params["k"], feats)                      # (B, T, H)
+    scores = jax.nn.softmax(
+        jnp.einsum("bh,bth->bt", q, k) / jnp.sqrt(q.shape[-1]), axis=-1
+    )
+    return jnp.einsum("bt,btd->bd", scores, feats)
+
+
 def mlp_encoder_init(key, din, dout, hidden=32):
     """(reference: src/prediction/models/base.py:5-20)"""
     k1, k2 = jax.random.split(key)
