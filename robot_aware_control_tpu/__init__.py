@@ -13,9 +13,12 @@ Layout:
   data        RoboNet HDF5 pipeline + synthetic fixtures + device prefetch
   robot       analytic IK / FK / on-device capsule mask renderer
   training    jitted scan train/eval steps, checkpointing, trainer loop
-  planning    on-device CEM with robot/world decomposed costs
+  planning    on-device CEM with robot/world decomposed costs (learned + gt)
   parallel    mesh + sharding rules (data parallel over ICI)
-  envs/mbrl   MuJoCo task environments and episode runners (host side)
+  envs        JAX-native task environments (pure physics + analytic renderer)
+  control     episode runners and the real-robot visual-MPC controller
+  evaluation  checkpoint eval, FVD, obj-movement metadata, debug tools
+  baselines   CycleGAN domain transfer
 """
 
 __version__ = "0.1.0"

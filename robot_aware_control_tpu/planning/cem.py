@@ -160,7 +160,33 @@ class CEMPolicy:
             None if goal_masks is None else jnp.asarray(goal_masks),
             rng, mean0, std0,
         )
-        return np.asarray(mean)
+        mean = np.asarray(mean)
+        if cfg.debug_cem:
+            self._plot_rollouts(mean, start, goal, ep_num, step)
+        return mean
+
+    def _plot_rollouts(self, plan, start, goal, ep_num, step):
+        """Save a top-K rollout strip gif for the final plan
+        (reference: cem.py:113-179 debug_cem plotting)."""
+        import os
+
+        from robot_aware_control_tpu.training.plot import save_gif
+
+        acts = self.pad(jnp.asarray(plan, jnp.float32)[None])
+        out = self.traj_sampler.generate_model_rollouts(
+            np.asarray(acts), start, goal, ret_obs=True
+        )
+        obs = out["obs"][0]  # (T, H, W, C)
+        goal_img = np.asarray(goal.imgs[-1], np.float32)
+        if goal_img.max() > 1.5:
+            goal_img = goal_img / 255.0
+        frames = [np.concatenate([f, goal_img], axis=1) for f in obs]
+        os.makedirs(self.cfg.log_dir, exist_ok=True)
+        save_gif(
+            os.path.join(self.cfg.log_dir,
+                         f"debug_cem_ep{ep_num}_step{step}.gif"),
+            frames, fps=2,
+        )
 
 
 class PushCEMPolicy(CEMPolicy):
