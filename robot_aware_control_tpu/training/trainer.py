@@ -235,8 +235,11 @@ class PredictionTrainer:
                 self._next_key(), jnp.float32(self._sched_prob()),
             )
             self._step += 1
+            # accumulate ON DEVICE — a float() here would force a host
+            # round-trip per window (very expensive through the TPU tunnel);
+            # the epoch loop syncs once per epoch
             for k, v in metrics.items():
-                agg[k] += float(v) / num
+                agg[k] = agg[k] + v / num if k in agg else v / num
         return dict(agg)
 
     # ------------------------------------------------------------------
@@ -347,24 +350,30 @@ class PredictionTrainer:
             train_loader.infinite() if hasattr(train_loader, "infinite")
             else iter(train_loader)
         )
-        from robot_aware_control_tpu.utils.profiling import StepTimer
+        import time as _time
 
-        timer = StepTimer()
         window = cfg.n_past + cfg.n_future
         for epoch in range(self._start_epoch, cfg.niter):
-            epoch_metrics = defaultdict(float)
+            epoch_metrics = {}
+            device_agg = {}
+            t_epoch = _time.perf_counter()
             for b in range(cfg.epoch_size):
                 batch = next(train_iter)
-                with timer:
-                    metrics = self._train_video(batch)
+                metrics = self._train_video(batch)
                 for k, v in metrics.items():
-                    epoch_metrics[k] += v / cfg.epoch_size
-            # frames/sec/chip: batch x window frames per train_video call
+                    device_agg[k] = (
+                        device_agg[k] + v if k in device_agg else v
+                    )
+            # ONE host sync per epoch (forces all queued device work)
+            for k, v in device_agg.items():
+                epoch_metrics[k] = float(v) / cfg.epoch_size
+            dt = _time.perf_counter() - t_epoch
             B = batch["images"].shape[1]
             spv = max(len(batch["images"]) // window, 1)
-            epoch_metrics["frames_per_sec"] = timer.throughput(
-                B * window * spv
-            ) / max(len(jax.devices()), 1)
+            epoch_metrics["frames_per_sec"] = (
+                cfg.epoch_size * B * window * spv / dt
+                / max(len(jax.devices()), 1)
+            )
             self.logger.scalars(epoch_metrics, self._step, prefix="train/")
             self.logger.info(
                 f"epoch {epoch} step {self._step} "
