@@ -268,10 +268,14 @@ class PredictionTrainer:
             dev = self._device_batch(w)
             for n in range(num_samples):
                 per_step, _ = step_fn(self.params, self.bn, dev, self._next_key())
+                # accumulate on device; sync once per video below
                 for k, v in per_step.items():
-                    samples[n][k] += float(np.mean(np.asarray(v))) / num
-        samples.sort(key=lambda d: d.get("psnr", 0.0), reverse=True)
-        return dict(samples[0])
+                    samples[n][k] = samples[n].get(k, 0.0) + jnp.mean(v) / num
+        synced = [
+            {k: float(v) for k, v in s.items()} for s in samples
+        ]
+        synced.sort(key=lambda d: d.get("psnr", 0.0), reverse=True)
+        return synced[0]
 
     def _eval_epoch(self, test_iter, num_batches: int = 2, prefix: str = "eval/"):
         agg = defaultdict(float)
