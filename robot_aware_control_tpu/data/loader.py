@@ -205,6 +205,47 @@ def create_transfer_loader(config: Config):
                       shuffle=False, drop_last=False)
 
 
+def _robot_subdir_loaders(config: Config, subdirs):
+    """Loaders over specific robot/viewpoint subdirectories."""
+    from robot_aware_control_tpu.data.robonet_hdf5 import RoboNetHDF5Dataset
+
+    pairs = discover_hdf5(config.data_root, subdirs)
+    if not pairs:
+        raise FileNotFoundError(f"no hdf5 under {config.data_root}/{subdirs}")
+    train, test = train_test_split(pairs, config.train_val_split, config.seed)
+
+    def mk(pairs_, seed, bs):
+        ds = RoboNetHDF5Dataset(
+            [p for p, _ in pairs_], [r for _, r in pairs_], config, seed=seed
+        )
+        return DataLoader(ds, bs, num_workers=config.data_threads, seed=seed)
+
+    return (
+        mk(train, config.seed, config.batch_size),
+        mk(test, config.seed + 1, config.test_batch_size),
+    )
+
+
+def create_sawyer_loaders(config: Config):
+    """(reference: sawyer/sawyer_dataloaders.py:18-126)"""
+    return _robot_subdir_loaders(config, ["sawyer_views"])
+
+
+def create_widowx_loaders(config: Config):
+    """(reference: widowx/widowx_dataloaders.py:10-66)"""
+    return _robot_subdir_loaders(config, ["widowx_views"])
+
+
+def create_baxter_loaders(config: Config):
+    """(reference: baxter/baxter_dataloaders.py:13-69)"""
+    return _robot_subdir_loaders(config, ["baxter_views"])
+
+
+def create_locobot_loaders(config: Config):
+    """(reference: locobot/locobot_singleview_dataloader.py:12-60)"""
+    return _robot_subdir_loaders(config, ["locobot_views"])
+
+
 def create_movement_loaders(config: Config):
     """Loaders restricted to videos labeled high-movement by the copy
     baseline (reference: robonet_dataloaders.py:210-327 movement-filtered
