@@ -201,6 +201,24 @@ class PredictionTrainer:
         out["pred_masks"] = masks
         out["states"] = states
         out["masks_model_input"] = masks
+        if cfg.model_use_heatmap:
+            # heatmaps re-derived from the predicted states
+            # (reference: trainer.py:205-231 heatmap branch)
+            from robot_aware_control_tpu.data.heatmaps import create_heatmaps
+
+            s = np.asarray(states)
+            low = np.asarray(batch["low"])
+            high = np.asarray(batch["high"])
+            robots = batch.get("robot", ["locobot"] * s.shape[1])
+            folders = batch.get("folder", ["c0"] * s.shape[1])
+            hms = np.stack([
+                create_heatmaps(
+                    s[:, b], low[b], high[b], robots[b], folders[b],
+                    (cfg.image_width, cfg.image_height),
+                )
+                for b in range(s.shape[1])
+            ], axis=1)
+            out["heatmaps"] = hms
         return out
 
     def _device_batch(self, window: Dict) -> Dict:
