@@ -141,6 +141,11 @@ class EpisodeRunner:
         self._step = 0
 
         obs = env.reset()
+        if "sim_start" in demo:
+            # replay from the demo's initial conditions
+            # (reference: episode_runner.py:121-139)
+            env.set_flattened_state(demo["sim_start"])
+            obs = env._get_obs()
         gif = []
         opt_actions = demo.get("actions")
         push_length = 0.2

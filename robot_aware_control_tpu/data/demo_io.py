@@ -63,6 +63,8 @@ def demo_from_history(env, history) -> Dict:
         "actions": acs,
         "pushed_obj": int(history.get("pushed_obj", 0)),
     }
+    if "sim_start" in history:
+        demo["sim_start"] = np.asarray(history["sim_start"], np.float32)
     if "obj_poses" in obs[0]:
         demo["obj_poses"] = np.stack([o["obj_poses"] for o in obs])
     if "obj_qpos" in obs[0]:

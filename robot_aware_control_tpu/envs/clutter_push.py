@@ -38,6 +38,9 @@ class ClutterPushEnv(RobotEnv):
         obs = self.reset()
         history = defaultdict(list)
         history["obs"].append(obs)
+        # start sim state so runners can replay from the demo's
+        # initial conditions (reference: episode_runner.py:121-139)
+        history["sim_start"] = self.get_flattened_state()
         cfg = self._config
         ep_len = getattr(cfg, "demo_length", 12) if cfg else 12
         obj_i = self.rng.randint(self.num_objects)

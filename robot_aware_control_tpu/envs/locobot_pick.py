@@ -36,6 +36,9 @@ class LocobotPickEnv(RobotEnv):
         obs = self.reset()
         history = defaultdict(list)
         history["obs"].append(obs)
+        # start sim state so runners can replay from the demo's
+        # initial conditions (reference: episode_runner.py:121-139)
+        history["sim_start"] = self.get_flattened_state()
         cfg = self._config
         ep_len = getattr(cfg, "demo_length", 14) if cfg else 14
 

@@ -31,20 +31,25 @@ class LocobotPushEnv(RobotEnv):
         obs = self.reset()
         history = defaultdict(list)
         history["obs"].append(obs)
+        # start sim state so runners can replay from the demo's
+        # initial conditions (reference: episode_runner.py:121-139)
+        history["sim_start"] = self.get_flattened_state()
         cfg = self._config
         ep_len = getattr(cfg, "demo_length", 12) if cfg else 12
 
         block = np.asarray(self.state.obj_pos[0])
         theta = self.rng.uniform(-np.pi / 4, np.pi / 4)
         push_dir = np.array([np.cos(theta), np.sin(theta)], np.float32)
-        # approach from behind the block, then push forward
+        # approach from behind the block until close, then push through it
+        approaching = True
         for t in range(ep_len - 1):
             eef = np.asarray(self.state.eef)
-            behind = block[:2] - 0.05 * push_dir
-            if t < 3 and np.linalg.norm(eef[:2] - behind) > 0.02:
+            behind = block[:2] - 0.055 * push_dir
+            if approaching and np.linalg.norm(eef[:2] - behind) > 0.015:
                 delta = behind - eef[:2]
             else:
-                delta = push_dir * 0.03
+                approaching = False
+                delta = push_dir * 0.035
             a = np.clip(delta / ACTION_SCALE, -1, 1).astype(np.float32)[:2]
             obs, _, _, _ = self.step(a)
             history["obs"].append(obs)

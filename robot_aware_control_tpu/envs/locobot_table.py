@@ -42,6 +42,9 @@ class LocobotTableEnv(RobotEnv):
         obs = self.reset()
         history = defaultdict(list)
         history["obs"].append(obs)
+        # start sim state so runners can replay from the demo's
+        # initial conditions (reference: episode_runner.py:121-139)
+        history["sim_start"] = self.get_flattened_state()
         cfg = self._config
         ep_len = getattr(cfg, "demo_length", 12) if cfg else 12
         beta = getattr(cfg, "temporal_beta", 1.0) if cfg else 1.0

@@ -58,9 +58,12 @@ def ssim(img1, img2, window_size=11):
 
     def filt(z):
         dn = lax.conv_dimension_numbers(z.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+        # HIGHEST precision: the TPU's default reduced-precision f32 conv
+        # makes filt(x*x) - mu^2 catastrophically cancel (variances go
+        # negative, SSIM > 1)
         return lax.conv_general_dilated(
             z, kernel, (1, 1), "SAME", dimension_numbers=dn,
-            feature_group_count=c,
+            feature_group_count=c, precision=lax.Precision.HIGHEST,
         )
 
     mu1, mu2 = filt(x), filt(y)
