@@ -28,16 +28,9 @@ _BEHAVIORS = {
 
 
 def _make_env(env_name: str, cfg: Optional[Config], seed: int):
-    from robot_aware_control_tpu import envs
+    from robot_aware_control_tpu.envs.variants import make
 
-    cls = {
-        "LocobotTable": envs.LocobotTableEnv,
-        "LocobotPush": envs.LocobotPushEnv,
-        "LocobotPick": envs.LocobotPickEnv,
-        "ClutterPush": envs.ClutterPushEnv,
-        "FetchPush": envs.FetchPushEnv,
-    }[env_name]
-    return cls(cfg, seed=seed)
+    return make(env_name, cfg, seed=seed)
 
 
 def collect_training_data(env_name: str, n_episodes: int, out_dir: str,

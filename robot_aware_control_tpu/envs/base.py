@@ -125,12 +125,23 @@ class RobotEnv:
          [0.90, 0.75, 0.15]], np.float32,
     )
 
+    # "modified" robot variant: longer forearm + different appearance — the
+    # zero-shot transfer target (reference: modified locobot xmls,
+    # locobot_analytical_ik.py:271-274, --modified flag)
+    modified = False
+    arm_color = None
+    arm_radii = None
+
     def __init__(self, config=None, seed: Optional[int] = None):
         self._config = config
         h = getattr(config, "image_height", 48) if config else 48
         w = getattr(config, "image_width", 64) if config else 64
         self._img_shape = (h, w)
-        self.renderer = SceneRenderer((h, w), table_z=TABLE_Z)
+        modified = self.modified or bool(getattr(config, "modified", False))
+        self.renderer = SceneRenderer(
+            (h, w), table_z=TABLE_Z, modified=modified,
+            arm_color=self.arm_color, radii=self.arm_radii,
+        )
         self.rng = np.random.RandomState(
             seed if seed is not None else getattr(config, "seed", 0) if config else 0
         )

@@ -37,8 +37,13 @@ class SceneRenderer(CapsuleMaskRenderer):
     """RGB + robot-mask rendering of the tabletop scene."""
 
     def __init__(self, image_size=(48, 64), camera_key: str = "locobot_c0",
-                 table_z: float = 0.1, modified: bool = False):
-        super().__init__(image_size, camera_key, thick=False, modified=modified)
+                 table_z: float = 0.1, modified: bool = False,
+                 arm_color=None, radii=None):
+        super().__init__(image_size, camera_key, thick=False,
+                         modified=modified, radii=radii)
+        self.arm_color = np.asarray(
+            ARM_COLOR if arm_color is None else arm_color, np.float32
+        )
         self.table_z = table_z
         # background: floor with the table plane projected analytically —
         # every pixel whose camera ray hits z=table_z inside the workspace
@@ -140,6 +145,6 @@ class SceneRenderer(CapsuleMaskRenderer):
             )
             <= tip_r[..., None, None]
         )
-        img = jnp.where(arm[..., None], jnp.asarray(ARM_COLOR), img)
+        img = jnp.where(arm[..., None], jnp.asarray(self.arm_color), img)
         img = jnp.where(tip[..., None], jnp.asarray(GRIPPER_COLOR), img)
         return img, mask

@@ -44,6 +44,16 @@ class LocobotOcclusionEnv(OcclusionMixin, LocobotTableEnv):
     pass
 
 
+class ModifiedLocobotPushEnv(LocobotPushEnv):
+    """Zero-shot transfer target: same task/kinematics, visually different
+    robot (thicker links, different color) — the sim analogue of swapping
+    robots (reference: modified locobot variant + the paper's transfer
+    experiments)."""
+
+    arm_color = np.array([0.55, 0.30, 0.10], np.float32)  # tan arm
+    arm_radii = np.array([0.060, 0.056, 0.050, 0.065], np.float32)
+
+
 class MultiviewMixin:
     """Adds a second camera; observations stack both views vertically
     (reference multiview pick env + camera_ids flag,
@@ -85,6 +95,7 @@ _REGISTRY: Dict[str, Type[RobotEnv]] = {
     "LocobotPush": LocobotPushEnv,
     "LocobotPick": LocobotPickEnv,
     "LocobotOcclusion": LocobotOcclusionEnv,
+    "ModifiedLocobotPush": ModifiedLocobotPushEnv,
     "LocobotPickMultiview": LocobotPickMultiviewEnv,
     "ClutterPush": ClutterPushEnv,
     "FetchPush": FetchPushEnv,
