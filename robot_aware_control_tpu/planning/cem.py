@@ -69,10 +69,16 @@ class CEMPolicy:
         self._plan = jax.jit(self._build_plan())
 
     # --- variant hooks -------------------------------------------------
-    def init_mean_std(self, T: int):
-        """(reference: cem.py:74-75)"""
+    def init_mean_std(self, T: int, opt_traj=None):
+        """(reference: cem.py:74-75). With --demo_cost and a demo action
+        prefix available, the mean is seeded from the demo (the reference
+        contemplates exactly this: pick/cem.py:68-69 commented seeding) —
+        crucial for long-horizon manipulation like pick-and-place."""
         mean = jnp.zeros((T - 1, self.action_dim), jnp.float32)
         std = jnp.full((T - 1, self.action_dim), self.init_std, jnp.float32)
+        if opt_traj is not None and self.cfg.demo_cost:
+            opt = jnp.asarray(opt_traj, jnp.float32)[: T - 1, : self.action_dim]
+            mean = mean.at[: opt.shape[0]].set(opt)
         return mean, std
 
     def clamp(self, acts):
@@ -153,7 +159,7 @@ class CEMPolicy:
         goal_imgs, goal_masks = self.traj_sampler.prepare_goals(goal, T - 1)
         if rng is None:
             rng = jax.random.PRNGKey(cfg.seed + 7919 * ep_num + step)
-        mean0, std0 = self.init_mean_std(T)
+        mean0, std0 = self.init_mean_std(T, opt_traj)
         mean = self._plan(
             self.params, self.bn, jnp.asarray(img), jnp.asarray(state_norm),
             jnp.asarray(qpos), jnp.asarray(goal_imgs),
@@ -206,12 +212,15 @@ class PickCEMPolicy(CEMPolicy):
     action_dim = 4
     zero_candidate = False
 
-    def init_mean_std(self, T: int):
+    def init_mean_std(self, T: int, opt_traj=None):
         mean = jnp.zeros((T - 1, 4), jnp.float32)
         mean = mean.at[:, -1].set(-0.005)
         std = jnp.full((T - 1, 4), self.init_std, jnp.float32)
         std = std.at[:, 0].set(0.2)
         std = std.at[:, -1].set(0.005)
+        if opt_traj is not None and self.cfg.demo_cost:
+            opt = jnp.asarray(opt_traj, jnp.float32)[: T - 1, :4]
+            mean = mean.at[: opt.shape[0]].set(opt)
         return mean, std
 
     def clamp(self, acts):

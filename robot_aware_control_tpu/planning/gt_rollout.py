@@ -130,7 +130,7 @@ class _GTMixin:
         goal_imgs, goal_masks = self.traj_sampler.prepare_goals(goal, T - 1)
         if rng is None:
             rng = jax.random.PRNGKey(self.cfg.seed + 7919 * ep_num + step)
-        mean0, std0 = self.init_mean_std(T)
+        mean0, std0 = self.init_mean_std(T, opt_traj)
         mean = self._plan_gt(
             self.env.state, jnp.asarray(goal_imgs),
             None if goal_masks is None else jnp.asarray(goal_masks),
