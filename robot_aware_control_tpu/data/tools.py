@@ -7,11 +7,10 @@ rate), visualize_actions.py, locobot_mask_generator.py)."""
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 
-from robot_aware_control_tpu.data.robonet_hdf5 import write_trajectory_hdf5
 
 
 def check_mask_data(paths: List[str]) -> Dict[str, Dict]:

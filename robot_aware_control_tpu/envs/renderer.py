@@ -14,12 +14,10 @@ src/cem/mujoco/trajectory_sampler.py:230-316).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
-from robot_aware_control_tpu.data import calibration as calib
 from robot_aware_control_tpu.robot import locobot_kinematics as lk
 from robot_aware_control_tpu.robot.mask_renderer import (
     LOCOBOT_RADII,

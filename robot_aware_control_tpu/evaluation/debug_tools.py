@@ -12,7 +12,7 @@ Reference parity:
 from __future__ import annotations
 
 import os
-from typing import List, Optional
+from typing import Optional
 
 import jax
 import numpy as np

@@ -12,12 +12,11 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Dict, List
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np
 
-from robot_aware_control_tpu.config import Config
 from robot_aware_control_tpu.models import copy_model
 from robot_aware_control_tpu.ops import losses as L
 

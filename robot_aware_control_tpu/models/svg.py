@@ -27,7 +27,7 @@ attention channel is applied by callers, matching the reference trainer
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

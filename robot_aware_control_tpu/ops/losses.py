@@ -13,7 +13,6 @@ All reductions accumulate in float32 regardless of compute dtype.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -21,7 +21,6 @@ op per cell per step; the gate nonlinearities fuse into it under XLA.
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ optax, orbax, jax.tree_util, and sharding annotations.
 
 from __future__ import annotations
 
-import math
 from typing import Sequence
 
 import jax

@@ -16,7 +16,6 @@ batch dimension. All functions degrade gracefully to a single device.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import numpy as np

@@ -23,8 +23,6 @@ Preserved semantics:
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,6 @@ Semantics preserved (trajectory_sampler.py:123-174):
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -44,7 +43,6 @@ from robot_aware_control_tpu.data.norm import (
 )
 from robot_aware_control_tpu.models.registry import get_model
 from robot_aware_control_tpu.models.common import composite as model_composite
-from robot_aware_control_tpu.models.common import skip_zeros
 from robot_aware_control_tpu.ops import losses as L
 from robot_aware_control_tpu.planning.cost import RobotWorldCost
 from robot_aware_control_tpu.robot import locobot_kinematics as lk

@@ -16,8 +16,6 @@ closed-form solver (hardware-gated in mbrl/ros shims).
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

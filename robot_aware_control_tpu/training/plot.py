@@ -7,8 +7,6 @@ imageio/PIL-based writers fed from fetched device arrays.
 
 from __future__ import annotations
 
-import os
-from typing import Optional
 
 import numpy as np
 

@@ -14,7 +14,6 @@ is a single jitted program.
 
 from __future__ import annotations
 
-import os
 from collections import defaultdict
 from typing import Dict, Optional
 

@@ -27,8 +27,6 @@ Semantics preserved from the reference hot loop (trainer.py:326-465):
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import os
 from collections import defaultdict
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
