@@ -19,11 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from robot_aware_control_tpu.robot import locobot_kinematics as lk
-from robot_aware_control_tpu.robot.mask_renderer import (
-    LOCOBOT_RADII,
-    THICK_SCALE,
-    CapsuleMaskRenderer,
-)
+from robot_aware_control_tpu.robot.mask_renderer import CapsuleMaskRenderer
 
 ARM_COLOR = np.array([0.25, 0.25, 0.28], np.float32)
 GRIPPER_COLOR = np.array([0.55, 0.55, 0.60], np.float32)

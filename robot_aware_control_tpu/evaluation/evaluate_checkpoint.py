@@ -10,7 +10,6 @@ from __future__ import annotations
 import json
 from typing import Optional
 
-import jax
 import numpy as np
 
 from robot_aware_control_tpu.config import Config, argparser
@@ -38,8 +37,6 @@ def evaluate_checkpoint(cfg: Config, ckpt_path: str, loader=None):
 def predict_videos(trainer: PredictionTrainer, loader, num_batches=2):
     """Autoregressive predicted videos + ground truth (B, T, H, W, 3)
     (reference: trainer.predict_video, trainer.py:1149-1224)."""
-    import jax.numpy as jnp
-
     real, fake = [], []
     n = 0
     for batch in loader:
