@@ -41,9 +41,9 @@ from robot_aware_control_tpu.training.trainer import PredictionTrainer
 def _base_cfg(cfg: Config, **kw) -> Config:
     return cfg.replace(
         model="svg", experiment="train_locobot_singleview",
-        image_height=48, image_width=64, robot_dim=5, action_dim=5,
-        robot_joint_dim=5, n_past=1, n_future=5, n_eval=8,
-        compute_dtype="bfloat16", impute_autograsp_action=False,
+        robot_dim=5, action_dim=5, robot_joint_dim=5,
+        n_eval=min(cfg.n_eval, cfg.video_length),
+        impute_autograsp_action=False,
         scheduled_sampling=True, remat=True, **kw,
     )
 

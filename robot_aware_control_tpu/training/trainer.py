@@ -79,8 +79,11 @@ class PredictionTrainer:
         else:
             self.params = self.bn = self.opt_state = None
 
-        # data-parallel mesh (single device degrades gracefully)
+        # data-parallel mesh (single device degrades gracefully); the mesh
+        # size must divide the batch, so clamp to the largest divisor
         ndev = cfg.num_devices or len(jax.devices())
+        while ndev > 1 and (cfg.batch_size % ndev or cfg.test_batch_size % ndev):
+            ndev -= 1
         self.mesh = pmesh.get_mesh(ndev) if ndev > 1 else None
         if self.mesh is not None and self.params is not None:
             self.params = pmesh.replicate(self.mesh, self.params)
