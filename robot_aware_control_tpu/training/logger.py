@@ -65,6 +65,17 @@ class RunLogger:
         if self.wandb is not None:
             self.wandb.log(rec, step=step)
 
+    def video(self, path: str, step: int, key: str = "video"):
+        """Attach a saved gif to wandb when active (reference logs gif
+        videos to wandb: trainer.py:1143-1147); JSONL records the path."""
+        self._jsonl.write(json.dumps({key: path, "step": step}) + "\n")
+        self._jsonl.flush()
+        if self.wandb is not None:
+            try:
+                self.wandb.log({key: self.wandb.Video(path)}, step=step)
+            except Exception:
+                pass
+
     def info(self, msg: str):
         self.log.info(msg)
 

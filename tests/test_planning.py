@@ -143,6 +143,33 @@ def test_rollout_ret_obs_topk(svg_model, rng):
     )
 
 
+def test_sparse_cost_uses_final_step_only(svg_model, rng):
+    """sparse_cost scores only the last rollout step
+    (reference: trajectory_sampler.py:166-169)."""
+    cfg, params, bn = svg_model
+    start, goal = _start_goal(cfg, rng)
+    acts = rng.uniform(-0.05, 0.05, (4, 3, 5)).astype(np.float32)
+    import jax
+
+    from robot_aware_control_tpu.planning.rollout import RolloutEngine
+
+    dense_eng = RolloutEngine(cfg)
+    sparse_eng = RolloutEngine(cfg.replace(sparse_cost=True))
+    sampler = TrajectorySampler(cfg, params, bn)
+    goal_imgs, goal_masks = sampler.prepare_goals(goal, 3)
+    import jax.numpy as jnp
+
+    args = (params, bn, jnp.asarray(start.img),
+            jnp.asarray(np.array([0.5, 0.5, 0.5, 0, 0], np.float32)),
+            jnp.zeros(5), jnp.asarray(acts), jnp.asarray(goal_imgs),
+            jnp.asarray(goal_masks), jax.random.PRNGKey(0))
+    dense = np.asarray(jax.jit(dense_eng)(*args))
+    _, obs = jax.jit(lambda *a: dense_eng(*a, ret_obs=True))(*args)
+    sparse = np.asarray(jax.jit(sparse_eng)(*args))
+    # sparse cost magnitude is a single step's reward: strictly smaller sum
+    assert np.all(np.abs(sparse) < np.abs(dense))
+
+
 def test_opt_traj_cost_reported(svg_model, rng):
     cfg, params, bn = svg_model
     sampler = TrajectorySampler(cfg, params, bn)
