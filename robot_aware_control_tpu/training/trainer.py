@@ -320,11 +320,13 @@ class PredictionTrainer:
         w.pop("qpos", None)
         dev = self._device_batch(w)
         _, preds = self.eval_step_ar(self.params, self.bn, dev, self._next_key())
-        eval_gif(
+        path = eval_gif(
             os.path.join(self.log_dir, f"eval_{epoch}.gif"),
             np.asarray(w["images"][1:]), np.asarray(preds),
             masks=np.asarray(w["masks"][1:]),
         )
+        if path:
+            self.logger.video(path, self._step, key="eval/rollout")
 
     # ------------------------------------------------------------------
     def _save(self, epoch: int):
