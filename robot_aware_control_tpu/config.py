@@ -213,6 +213,12 @@ class Config:
     mesh_axes: Tuple[str, ...] = ("data",)
     # Rematerialize encoder/decoder activations inside the time scan.
     remat: bool = False
+    # Metres of eef displacement per unit action for the ANALYTIC robot
+    # model inside planner rollouts. The reference's robonet actions are
+    # metric displacements (scale 1.0); the bundled JAX envs emit [-1,1]
+    # actions scaled by 0.05 inside the env (envs/base.py:ACTION_SCALE) —
+    # set 0.05 when planning against data collected from them.
+    eef_action_scale: float = 1.0
 
     # ------------------------------------------------------------------
     def replace(self, **kw) -> "Config":

@@ -101,8 +101,10 @@ class RolloutEngine:
         qpos_n = jnp.broadcast_to(
             start_qpos[:5], (N, 5)
         ).astype(jnp.float32)
+        # env-unit actions -> metric eef displacements (config.py docs)
+        planar = actions_tna[..., :2] * self.cfg.eef_action_scale
         states_raw, qpos = lk.integrate_planar_actions(
-            start_raw_n, qpos_n, actions_tna[..., :2],
+            start_raw_n, qpos_n, planar,
             push_height=self.push_height, pitch=self.default_pitch,
             roll=self.default_roll,
         )
@@ -173,21 +175,26 @@ class RolloutEngine:
         def scan_step(carry, inp):
             rng, rng_model = jax.random.split(carry["rng"])
             curr = carry["img"]
-            if blackout:
-                curr = L.zero_robot_region(inp["m_t"], curr)
+            model_in = (
+                L.zero_robot_region(inp["m_t"], curr) if blackout else curr
+            )
             m_in, r_in, _ = _conditioning(
                 cfg, inp["m_t"], inp["m_t1"], inp["s_t"], inp["s_t1"],
                 None, None, False,
             )
             out, model_carry, _ = _model_step(
                 cfg, params, bn, carry["model"], None,
-                use_curr_skip=None, x_j=curr, m_in=m_in, r_in=r_in,
+                use_curr_skip=None, x_j=model_in, m_in=m_in, r_in=r_in,
                 hm_in=None, a_j=inp["a"], rng=rng_model, next_inputs=None,
                 train=False, sample_mean=cfg.sample_mean,
             )
+            # Deviation from the reference sampler (trajectory_sampler.py:
+            # 149-152), which composites with the BLACKED-OUT current image
+            # and re-blacks the output — baking black arm shadows into the
+            # rollout as fake world pixels. Training composites with the
+            # un-blacked frame (trainer.py:406-407), so we do the same here;
+            # the don't-care cost already excludes the robot region.
             next_img = model_composite(cfg, out["x_pred"], curr).astype(jnp.float32)
-            if blackout:
-                next_img = L.zero_robot_region(inp["m_t1"], next_img)
             reward = self.cost(
                 next_img, inp["goal_img"],
                 curr_mask=inp["m_t1"], goal_mask=inp["goal_mask"],
