@@ -173,7 +173,8 @@ class EpisodeRunner:
             )
             opt = None
             if cfg.demo_cost and opt_actions is not None:
-                opt = opt_actions[self._g_i - 1:]
+                # demo actions are at full rate; subgoals every ts frames
+                opt = opt_actions[(self._g_i - 1) * ts:]
             actions = self.policy.get_action(curr, goals, ep_num, self._step,
                                              opt_traj=opt)
             terminate = False
@@ -274,7 +275,19 @@ def main(argv=None):
         "LocobotPush": PushEpisodeRunner,
         "LocobotPick": PickEpisodeRunner,
     }.get(cfg.env, EpisodeRunner)
-    runner = runner_cls(cfg)
+    params = bn = None
+    if cfg.dynamics_model_ckpt and not cfg.use_env_dynamics:
+        import jax as _jax
+
+        from robot_aware_control_tpu.models.registry import get_model
+        from robot_aware_control_tpu.training import checkpoint as _ckpt
+
+        params, bn = get_model(cfg).init(_jax.random.PRNGKey(cfg.seed), cfg)
+        trees, _ = _ckpt.load_checkpoint(
+            cfg.dynamics_model_ckpt, {"params": params, "bn": bn}
+        )
+        params, bn = trees["params"], trees["bn"]
+    runner = runner_cls(cfg, params, bn)
     runner.run()
 
 
