@@ -76,6 +76,11 @@ class RoboNetHDF5Dataset:
             config.n_past + config.n_future if load_snippet else config.video_length
         )
         self._rng = np.random.RandomState(config.seed if seed is None else seed)
+        # --preload_ram: decode every file once up-front
+        # (reference: robonet_dataset.py preload option)
+        self._ram: Optional[list] = None
+        if config.preload_ram:
+            self._ram = [self._load_file(i) for i in range(len(self._traj_names))]
         # object-movement labels for --load_movement_info/--movement_weight
         # (reference: robonet_dataset.py:36-48, trainer.py:426-429)
         self._movement = None
@@ -90,7 +95,8 @@ class RoboNetHDF5Dataset:
         return len(self._traj_names)
 
     # ------------------------------------------------------------------
-    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+    def _load_file(self, idx: int) -> Dict[str, np.ndarray]:
+        """Decode one full episode (used directly or RAM-preloaded)."""
         cfg = self._config
         name = self._traj_names[idx]
         robot_viewpoint = self._traj_robots[idx]
@@ -105,29 +111,50 @@ class RoboNetHDF5Dataset:
             ep_len = hf[image_key].shape[0]
             if ep_len < self._video_length:
                 raise ValueError(f"{path}: episode {ep_len} < {self._video_length}")
-            start = 0
-            if ep_len > self._video_length:
-                start = int(self._rng.randint(0, ep_len - self._video_length + 1))
-            end = start + self._video_length
-
-            images = hf[image_key][start:end]
             raw_low, raw_high = self._load_bounds(hf, robot_viewpoint)
-            states = self._load_states(hf, start, end)
-            actions = self._load_actions(hf, raw_low, raw_high, start, end - 1)
-            raw_states = states.copy()
-            raw_actions = actions.copy()
-            masks = np.asarray(hf[mask_key][start:end], np.float32)
-            qpos = self._load_qpos(hf, start, end)
+            out = {
+                "path": path,
+                "ep_len": ep_len,
+                "images": np.asarray(hf[image_key]),
+                "states": self._load_states(hf, 0, ep_len),
+                "actions": self._load_actions(hf, raw_low, raw_high, 0, ep_len - 1),
+                "masks": np.asarray(hf[mask_key], np.float32),
+                "qpos": self._load_qpos(hf, 0, ep_len),
+                "raw_low": raw_low,
+                "raw_high": raw_high,
+            }
             robot = hf.attrs.get("robot")
             if robot is None:
                 robot = "locobot" if "locobot" in robot_viewpoint else (
                     "franka" if "franka" in robot_viewpoint else "unknown"
                 )
-            if isinstance(robot, bytes):
-                robot = robot.decode()
+            out["robot"] = robot.decode() if isinstance(robot, bytes) else robot
+        return out
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        cfg = self._config
+        robot_viewpoint = self._traj_robots[idx]
+        raw = self._ram[idx] if self._ram is not None else self._load_file(idx)
+        path, ep_len = raw["path"], raw["ep_len"]
+        start = 0
+        if ep_len > self._video_length:
+            start = int(self._rng.randint(0, ep_len - self._video_length + 1))
+        end = start + self._video_length
+
+        images = raw["images"][start:end]
+        raw_low, raw_high = raw["raw_low"], raw["raw_high"]
+        states = raw["states"][start:end].copy()
+        actions = raw["actions"][start:end - 1].copy()
+        raw_states = states.copy()
+        raw_actions = actions.copy()
+        masks = raw["masks"][start:end].copy()
+        qpos = raw["qpos"][start:end]
+        robot = raw["robot"]
 
         low, high = self._preprocess_bounds(raw_low, raw_high, idx)
         images, masks = self._preprocess_images_masks(images, masks)
+        if cfg.img_augmentation:
+            images, masks = self._augment(images, masks)
         states = self._preprocess_states(states, low, high, robot_viewpoint, idx)
         actions = self._preprocess_actions(states, actions, low, high, idx)
 
@@ -233,6 +260,32 @@ class RoboNetHDF5Dataset:
             ms = ms[..., None]
         ms = (ms > 0.5).astype(np.float32)
         return imgs, ms
+
+    def _augment(self, images, masks):
+        """Episode-consistent random crop + color jitter
+        (reference: robonet_dataset.py:257-300). The same crop applies to
+        every frame and to the masks; jitter is color-only."""
+        cfg = self._config
+        h, w = images.shape[1:3]
+        ch = max(int(round(cfg.random_crop_size * h / w)), 1)
+        cw = cfg.random_crop_size
+        if cw < w and ch < h:
+            y0 = int(self._rng.randint(0, h - ch + 1))
+            x0 = int(self._rng.randint(0, w - cw + 1))
+            images = np.stack([
+                _resize(im[y0:y0 + ch, x0:x0 + cw], w, h) for im in images
+            ])
+            masks = np.stack([
+                _resize(m[y0:y0 + ch, x0:x0 + cw], w, h) for m in masks
+            ])
+            if masks.ndim == 3:
+                masks = masks[..., None]
+            masks = (masks > 0.5).astype(np.float32)
+        r = cfg.color_jitter_range
+        jitter = self._rng.uniform(1 - r, 1 + r, 3).astype(np.float32)
+        shift = self._rng.uniform(-r / 2, r / 2, 3).astype(np.float32)
+        images = np.clip(images * jitter + shift, 0.0, 1.0)
+        return images.astype(np.float32), masks
 
     def _preprocess_states(self, states, low, high, robot_viewpoint, idx):
         states = states.copy()
