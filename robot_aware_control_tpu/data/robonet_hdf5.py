@@ -313,6 +313,14 @@ class RoboNetHDF5Dataset:
             w2c = calib.get_world_to_camera(self._traj_robots[idx])
             c2w = calib.get_camera_to_world(self._traj_robots[idx])
             return self._camera_actions(states, actions, w2c, c2w, low, high)
+        if strategy in ("state_infer", "camera_state_infer"):
+            # infer eef displacements from consecutive states; states are
+            # already in the target frame (world or camera) at this point
+            # (reference: robonet_dataset.py:294-299 action strategies)
+            eef = denormalize(states[:, :3], low[:3], high[:3])
+            inferred = actions.astype(np.float32).copy()
+            inferred[:, :3] = eef[1:] - eef[:-1]
+            return inferred
         raise NotImplementedError(strategy)
 
     def _camera_actions(self, states, actions, w2c, c2w, low, high):
