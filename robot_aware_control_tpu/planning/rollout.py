@@ -146,9 +146,10 @@ class RolloutEngine:
                 (T + 1, N, cfg.image_height, cfg.image_width, 1), jnp.float32
             )
 
+        # rollout images ride in the compute dtype; costs cast to f32
         curr_img = jnp.broadcast_to(
             start_img, (N,) + start_img.shape
-        ).astype(jnp.float32)
+        ).astype(self.dtype)
 
         model = get_model(cfg)
         carry0 = {
@@ -194,7 +195,7 @@ class RolloutEngine:
             # rollout as fake world pixels. Training composites with the
             # un-blacked frame (trainer.py:406-407), so we do the same here;
             # the don't-care cost already excludes the robot region.
-            next_img = model_composite(cfg, out["x_pred"], curr).astype(jnp.float32)
+            next_img = model_composite(cfg, out["x_pred"], curr).astype(self.dtype)
             reward = self.cost(
                 next_img, inp["goal_img"],
                 curr_mask=inp["m_t1"], goal_mask=inp["goal_mask"],
