@@ -52,7 +52,11 @@ def _resize(img: np.ndarray, w: int, h: int) -> np.ndarray:
         return img
     if _HAS_CV2:
         return cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
-    # fallback: nearest via index grid
+    from robot_aware_control_tpu.data import native
+
+    if native.available():  # C++ bilinear (data/native.py, native/resize.cpp)
+        return native.bilinear_resize(np.asarray(img, np.float32), w, h)
+    # last resort: nearest via index grid
     ys = (np.linspace(0, img.shape[0] - 1, h)).astype(np.int64)
     xs = (np.linspace(0, img.shape[1] - 1, w)).astype(np.int64)
     return img[ys][:, xs]
