@@ -179,16 +179,18 @@ def create_loaders(config: Config):
         raise FileNotFoundError(f"no hdf5 under {config.data_root}")
     train, test = train_test_split(pairs, config.train_val_split, config.seed)
 
-    def mk(pairs_, seed):
+    def mk(pairs_, seed, bs):
         files = [p for p, _ in pairs_]
         robots = [r for _, r in pairs_]
         ds = RoboNetHDF5Dataset(files, robots, config, load_snippet=False, seed=seed)
+        # never let a small split produce zero batches (drop_last)
         return DataLoader(
-            ds, config.batch_size, num_workers=config.data_threads,
+            ds, min(bs, max(len(ds), 1)), num_workers=config.data_threads,
             seed=seed,
         )
 
-    return mk(train, config.seed), mk(test, config.seed + 1)
+    return (mk(train, config.seed, config.batch_size),
+            mk(test, config.seed + 1, config.test_batch_size))
 
 
 def create_transfer_loader(config: Config):
