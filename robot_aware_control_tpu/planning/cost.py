@@ -110,7 +110,9 @@ class InpaintBlurCost:
         img = jnp.asarray(img, jnp.float32)
         goal = jnp.asarray(goal, jnp.float32)
         if img.ndim == 3:
-            img, goal = img[None], goal[None]
+            img = img[None]
+        if goal.ndim == 3:
+            goal = goal[None]
         scale = -1.0
         if blur:
             img = jnp.round(255.0 * gaussian_blur(img, self.sigma, self.radius)) / 255.0
@@ -129,6 +131,11 @@ class RobotWorldCost:
         self.robot_w = cfg.robot_cost_weight
         self.world_w = cfg.world_cost_weight
         self.dontcare = cfg.reward_type == "dontcare"
+        # inpaint-blur reward: gaussian-blurred image MSE
+        # (reference: losses.py:109-154, reward_type inpaint-blur)
+        self.blur = (
+            InpaintBlurCost(cfg) if cfg.reward_type == "inpaint-blur" else None
+        )
 
     def __call__(self, curr_img, goal_img, curr_mask=None, goal_mask=None,
                  curr_state=None, goal_state=None):
@@ -140,6 +147,8 @@ class RobotWorldCost:
                 total = total + self.world_w * img_dontcare_cost(
                     self.cfg, curr_img, goal_img, curr_mask, goal_mask
                 )
+            elif self.blur is not None:
+                total = total + self.world_w * self.blur(curr_img, goal_img)
             else:
                 total = total + self.world_w * img_l2_cost(
                     self.cfg, curr_img, goal_img
