@@ -295,3 +295,31 @@ def argparser(argv=None) -> Tuple[Config, list]:
     args, unparsed = parser.parse_known_args(argv)
     cfg = Config(**vars(args))
     return cfg, unparsed
+
+
+def from_yaml(path: str, **overrides) -> Config:
+    """Load a Config from a YAML mapping (reference: the vendored robonet
+    YAML/HParams configs, robonet/robonet/yaml_util.py). Unknown keys are
+    rejected; kwargs override file values."""
+    import yaml
+
+    with open(path) as f:
+        data = yaml.safe_load(f) or {}
+    fields = {f.name for f in dataclasses.fields(Config)}
+    unknown = set(data) - fields
+    if unknown:
+        raise KeyError(f"unknown config keys in {path}: {sorted(unknown)}")
+    data.update(overrides)
+    return Config(**data)
+
+
+def to_yaml(cfg: Config, path: str):
+    """Serialize a Config to YAML (round-trips with from_yaml)."""
+    import yaml
+
+    with open(path, "w") as f:
+        yaml.safe_dump(
+            {k: (list(v) if isinstance(v, tuple) else v)
+             for k, v in dataclasses.asdict(cfg).items()},
+            f, sort_keys=True,
+        )

@@ -1,0 +1,46 @@
+"""YAML config round-trip and cost-visualization tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from robot_aware_control_tpu.config import Config, from_yaml, to_yaml
+from robot_aware_control_tpu.evaluation.vis_tools import (
+    cost_along_trajectory,
+    save_cost_plot,
+)
+
+
+def test_yaml_roundtrip(tmp_path):
+    cfg = Config(g_dim=17, reward_type="dontcare", camera_ids=(1, 2))
+    path = str(tmp_path / "cfg.yaml")
+    to_yaml(cfg, path)
+    cfg2 = from_yaml(path)
+    assert cfg2.g_dim == 17
+    assert cfg2.reward_type == "dontcare"
+    assert tuple(cfg2.camera_ids) == (1, 2)
+    cfg3 = from_yaml(path, g_dim=99)
+    assert cfg3.g_dim == 99
+
+
+def test_yaml_rejects_unknown_keys(tmp_path):
+    path = str(tmp_path / "bad.yaml")
+    with open(path, "w") as f:
+        f.write("not_a_flag: 3\n")
+    with pytest.raises(KeyError):
+        from_yaml(path)
+
+
+def test_cost_along_trajectory_and_plot(tmp_path, rng):
+    cfg = Config(reward_type="dontcare")
+    T, H, W = 5, 16, 16
+    goal = rng.rand(H, W, 3).astype(np.float32)
+    imgs = np.stack([goal * (t / (T - 1)) for t in range(T)])  # approach goal
+    masks = np.zeros((T, H, W, 1), np.float32)
+    gm = np.zeros((H, W), np.float32)
+    vals = cost_along_trajectory(cfg, imgs, masks, goal, gm)
+    assert vals.shape == (T,)
+    assert vals[-1] > vals[0]  # reward increases approaching the goal
+    out = save_cost_plot(vals, str(tmp_path / "cost.png"))
+    assert os.path.exists(out) and os.path.exists(out + ".json")
