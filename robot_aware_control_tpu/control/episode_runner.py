@@ -33,8 +33,6 @@ from robot_aware_control_tpu.planning.cem import (
 )
 from robot_aware_control_tpu.planning.cost import (
     RobotWorldCost,
-    img_dontcare_cost,
-    img_l2_cost,
     robot_l2_cost,
 )
 from robot_aware_control_tpu.planning.gt_rollout import (
@@ -90,21 +88,43 @@ class EpisodeRunner:
 
     # ------------------------------------------------------------------
     def _world_cost_scalar(self, curr_img, goal_img, curr_mask, goal_mask):
-        cfg = self.cfg
         c = np.asarray(curr_img, np.float32)[None]
-        if cfg.reward_type == "dontcare":
-            v = img_dontcare_cost(cfg, c, goal_img, curr_mask[None], goal_mask)
-        else:
-            v = img_l2_cost(cfg, c, goal_img)
+        g = np.asarray(goal_img, np.float32)
+        if g.dtype == np.uint8 or g.max() > 1.5:
+            g = g / 255.0
+        cm = None if curr_mask is None else np.asarray(curr_mask)[None]
+        v = self.cost.world_cost(c, g, cm, goal_mask)
         return float(np.asarray(v)[0])
 
     def _pick_next_goal(self, curr: State, goal: State) -> bool:
         """Advance the subgoal when robot+world costs pass their success
         thresholds (reference: episode_runner.py:46-82). Costs are negated
-        distances; thresholds are on distances."""
+        distances; thresholds are on distances.
+
+        skip-subgoal mode (sequential_subgoal=False): jump to the goal after
+        the most-future remaining goal whose world cost is already under the
+        success threshold — the reference declares this path
+        NotImplementedError but documents the intended semantics in the
+        adjacent commented legacy code (episode_runner.py:67-82); we
+        implement those semantics with the configured world cost instead of
+        the legacy raw-L2."""
         cfg = self.cfg
         if not cfg.sequential_subgoal:
-            raise NotImplementedError("skip-subgoal mode")
+            prev = self._g_i
+            min_idx, new_goal = 0, False
+            for j in range(len(self._goal_imgs) - self._g_i):
+                g_idx = self._g_i + j
+                d = -self._world_cost_scalar(
+                    curr.img, self._goal_imgs[g_idx], curr.mask,
+                    self._goal_masks[g_idx],
+                )
+                if d <= cfg.world_cost_success:
+                    new_goal = True
+                    min_idx = j + 1
+            self._g_i += min_idx
+            if new_goal:
+                self._g_i += 1
+            return self._g_i != prev
         robot_ok = True
         if cfg.robot_cost_weight != 0 and curr.state is not None:
             d = -float(np.asarray(
@@ -137,6 +157,7 @@ class EpisodeRunner:
             goal_obj_poses = goal_obj_poses[::ts]
         pushed_obj = int(demo.get("pushed_obj", 0))
         num_goals = len(goal_imgs)
+        self._goal_imgs, self._goal_masks = goal_imgs, goal_masks
         self._g_i = max(cfg.subgoal_start, 1)
         self._step = 0
 

@@ -220,7 +220,9 @@ def _robot_subdir_loaders(config: Config, subdirs):
         ds = RoboNetHDF5Dataset(
             [p for p, _ in pairs_], [r for _, r in pairs_], config, seed=seed
         )
-        return DataLoader(ds, bs, num_workers=config.data_threads, seed=seed)
+        # never let a small split produce zero batches (drop_last)
+        return DataLoader(ds, min(bs, max(len(ds), 1)),
+                          num_workers=config.data_threads, seed=seed)
 
     return (
         mk(train, config.seed, config.batch_size),
@@ -269,7 +271,9 @@ def create_movement_loaders(config: Config):
         ds = RoboNetHDF5Dataset(
             [p for p, _ in pairs_], [r for _, r in pairs_], config, seed=seed
         )
-        return DataLoader(ds, bs, num_workers=config.data_threads, seed=seed)
+        # never let a small split produce zero batches (drop_last)
+        return DataLoader(ds, min(bs, max(len(ds), 1)),
+                          num_workers=config.data_threads, seed=seed)
 
     return (
         mk(train, config.seed, config.batch_size),

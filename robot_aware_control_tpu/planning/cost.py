@@ -97,8 +97,11 @@ class InpaintBlurCost:
     """Gaussian-blurred image MSE cost for the inpaint-blur reward
     (reference: src/prediction/losses.py:109-154). Matches the reference's
     skimage-gaussian + uint8 quantization semantics: blur with
-    sigma=blur_sigma truncated to the blur window, round to 1/255 steps,
-    then cost = -MSE (unblurred images use -unblur_cost_scale * MSE)."""
+    sigma=blur_sigma truncated to the blur window, truncate to 1/255 steps
+    (the reference's (255*gaussian(...)).astype(np.uint8) floors), then
+    cost = -MSE per batch element (unblurred images use
+    -unblur_cost_scale * MSE). Returns (N,) so it composes with the batched
+    CEM rollout engines like img_l2_cost/img_dontcare_cost."""
 
     def __init__(self, cfg: Config):
         self.sigma = cfg.blur_sigma
@@ -115,42 +118,125 @@ class InpaintBlurCost:
             goal = goal[None]
         scale = -1.0
         if blur:
-            img = jnp.round(255.0 * gaussian_blur(img, self.sigma, self.radius)) / 255.0
-            goal = jnp.round(255.0 * gaussian_blur(goal, self.sigma, self.radius)) / 255.0
+            img = jnp.floor(255.0 * gaussian_blur(img, self.sigma, self.radius)) / 255.0
+            goal = jnp.floor(255.0 * gaussian_blur(goal, self.sigma, self.radius)) / 255.0
         else:
             scale = -1.0 * self.unblur_cost_scale
-        return scale * jnp.mean((img - goal) ** 2)
+        return scale * jnp.mean((img - goal) ** 2, axis=(1, 2, 3))
+
+
+def _mask2d(mask, like):
+    """Broadcast a (...,H,W[,1]) mask against a (N,H,W,C) image batch."""
+    m = jnp.asarray(mask, jnp.float32)
+    if m.shape[-1] != 1:  # no channel axis: (H,W) / (N,H,W)
+        m = m[..., None]
+    m = (m > 0.5).astype(jnp.float32)
+    return jnp.broadcast_to(m, like.shape[:-1] + (1,))
+
+
+def img_weighted_cost(cfg: Config, curr_img, goal_img, curr_mask, goal_mask):
+    """weighted reward: per-pixel diff with robot pixels down-weighted by
+    robot_pixel_weight — applied once per mask, so pixels in BOTH masks get
+    weight^2, exactly the reference's sequential in-place multiplies
+    (reference: src/env/robotics/clutter_push.py:717-721)."""
+    c = curr_img.astype(jnp.float32)
+    g = jnp.broadcast_to(goal_img.astype(jnp.float32), c.shape)
+    a = cfg.robot_pixel_weight
+    w = jnp.where(_mask2d(goal_mask, c) > 0, a, 1.0)
+    w = w * jnp.where(_mask2d(curr_mask, c) > 0, a, 1.0)
+    d = (255.0 * (c - g) * w) ** 2
+    return -jnp.sqrt(_bsum(d))
+
+
+def img_inpaint_cost(cfg: Config, curr_img, goal_img, curr_mask,
+                     background=None):
+    """inpaint reward: replace current robot pixels with the background
+    image (goal is assumed pre-inpainted at goal-capture time), then plain
+    L2 (reference: src/env/robotics/clutter_push.py:689-717,524-528). With
+    no background available, robot pixels are zeroed (== blackrobot)."""
+    c = curr_img.astype(jnp.float32)
+    g = jnp.broadcast_to(goal_img.astype(jnp.float32), c.shape)
+    m = _mask2d(curr_mask, c)
+    bg = jnp.zeros_like(c) if background is None else jnp.broadcast_to(
+        jnp.asarray(background, jnp.float32), c.shape)
+    c = c * (1.0 - m) + bg * m
+    return -jnp.sqrt(_bsum((255.0 * (c - g)) ** 2))
+
+
+def img_blackrobot_cost(cfg: Config, curr_img, goal_img, curr_mask):
+    """blackrobot reward: zero current robot pixels, plain L2 vs the
+    (pre-blacked) goal (reference: clutter_push.py:722-728,530-532)."""
+    c = curr_img.astype(jnp.float32)
+    g = jnp.broadcast_to(goal_img.astype(jnp.float32), c.shape)
+    c = c * (1.0 - _mask2d(curr_mask, c))
+    return -jnp.sqrt(_bsum((255.0 * (c - g)) ** 2))
+
+
+def img_sparse_cost(cfg: Config, curr_img, goal_img):
+    """sparse reward: -(||curr-goal|| > threshold) (reference:
+    clutter_push.py:742-744); threshold = img_cost_threshold (default 0 =>
+    any mismatch costs 1)."""
+    d = -img_l2_cost(cfg.replace(img_cost_threshold=None), curr_img, goal_img)
+    thresh = cfg.img_cost_threshold or 0.0
+    return -(d > thresh).astype(jnp.float32)
 
 
 class RobotWorldCost:
-    """robot_cost_weight * RobotL2 + world_cost_weight * (ImgL2|ImgDontcare)
-    (reference: losses.py:290-335). Pure; call under jit."""
+    """robot_cost_weight * RobotL2 + world_cost_weight * WorldCost with the
+    world cost dispatched per reward_type (reference: losses.py:290-335
+    picks ImgDontcare vs ImgL2; the env-side weighted/inpaint/blackrobot/
+    sparse semantics live in clutter_push.py:681-744 and are folded in here
+    so every config.py reward_type value has an explicit branch).
+
+    eef_inpaint = robot-eef L2 + inpainted-image L2, the reference's
+    commented eef_inpaint_cost (losses.py:161-170): the robot term is the
+    standard robot_cost_weight * robot_l2_cost, the world term is inpaint.
+    Pure; call under jit. Returns (N,) rewards."""
 
     def __init__(self, cfg: Config):
         self.cfg = cfg
         self.robot_w = cfg.robot_cost_weight
         self.world_w = cfg.world_cost_weight
-        self.dontcare = cfg.reward_type == "dontcare"
+        self.reward_type = cfg.reward_type
         # inpaint-blur reward: gaussian-blurred image MSE
         # (reference: losses.py:109-154, reward_type inpaint-blur)
         self.blur = (
             InpaintBlurCost(cfg) if cfg.reward_type == "inpaint-blur" else None
         )
 
+    def world_cost(self, curr_img, goal_img, curr_mask=None, goal_mask=None,
+                   background=None, blur: bool = True):
+        rt = self.reward_type
+        cfg = self.cfg
+        if rt == "dontcare":
+            return img_dontcare_cost(cfg, curr_img, goal_img, curr_mask,
+                                     goal_mask)
+        if rt == "inpaint-blur":
+            return self.blur(curr_img, goal_img, blur=blur)
+        if rt in ("inpaint", "eef_inpaint"):
+            return img_inpaint_cost(cfg, curr_img, goal_img, curr_mask,
+                                    background)
+        if rt == "blackrobot":
+            return img_blackrobot_cost(cfg, curr_img, goal_img, curr_mask)
+        if rt == "weighted":
+            if curr_mask is None or goal_mask is None:
+                return img_l2_cost(cfg, curr_img, goal_img)
+            return img_weighted_cost(cfg, curr_img, goal_img, curr_mask,
+                                     goal_mask)
+        if rt == "sparse":
+            return img_sparse_cost(cfg, curr_img, goal_img)
+        # dense and anything else: plain image L2
+        return img_l2_cost(cfg, curr_img, goal_img)
+
     def __call__(self, curr_img, goal_img, curr_mask=None, goal_mask=None,
-                 curr_state=None, goal_state=None):
+                 curr_state=None, goal_state=None, background=None,
+                 blur: bool = True):
         total = 0.0
         if self.robot_w != 0 and curr_state is not None and goal_state is not None:
             total = total + self.robot_w * robot_l2_cost(curr_state, goal_state)
         if self.world_w != 0:
-            if self.dontcare:
-                total = total + self.world_w * img_dontcare_cost(
-                    self.cfg, curr_img, goal_img, curr_mask, goal_mask
-                )
-            elif self.blur is not None:
-                total = total + self.world_w * self.blur(curr_img, goal_img)
-            else:
-                total = total + self.world_w * img_l2_cost(
-                    self.cfg, curr_img, goal_img
-                )
+            total = total + self.world_w * self.world_cost(
+                curr_img, goal_img, curr_mask, goal_mask,
+                background=background, blur=blur,
+            )
         return total

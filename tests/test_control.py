@@ -77,3 +77,33 @@ def test_push_episode_runner_gt(tmp_path):
     assert "goal_progress" in summary
     assert 0.0 <= summary["goal_progress"] <= 1.0 + 1e-6
     assert np.isfinite(summary["final_obj_dist"])
+
+def test_skip_subgoal_advances_past_reached_goals(tmp_path):
+    """sequential_subgoal=False jumps past the most-future goal already
+    under the success threshold (reference episode_runner.py:67-82 legacy
+    semantics; the reference itself raises NotImplementedError here)."""
+    cfg = _cfg(tmp_path, sequential_subgoal=False, world_cost_success=1.0)
+    runner = PushEpisodeRunner.__new__(PushEpisodeRunner)
+    runner.cfg = cfg
+    from robot_aware_control_tpu.planning.cost import RobotWorldCost
+
+    runner.cost = RobotWorldCost(cfg)
+    rng = np.random.RandomState(0)
+    img = rng.rand(48, 64, 3).astype(np.float32)
+    far = rng.rand(48, 64, 3).astype(np.float32)
+    # goals 0..2 match the current image (=> reachable), goal 3 is far
+    runner._goal_imgs = np.stack([img, img, img, far])
+    runner._goal_masks = np.zeros((4, 48, 64), np.float32)
+    runner._g_i = 0
+    curr = State(img=img, mask=np.zeros((48, 64), np.float32))
+    goal = State(img=runner._goal_imgs[0], mask=runner._goal_masks[0])
+    advanced = runner._pick_next_goal(curr, goal)
+    assert advanced
+    # last matching offset j=2 -> min_idx=3, +1 for new_goal => _g_i=4
+    assert runner._g_i == 4
+
+    # nothing under threshold -> no advance
+    runner._g_i = 3
+    advanced = runner._pick_next_goal(curr, goal)
+    assert not advanced
+    assert runner._g_i == 3

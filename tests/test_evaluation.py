@@ -62,12 +62,13 @@ def test_inpaint_blur_cost(rng):
     cost = InpaintBlurCost(cfg)
     a = rng.rand(16, 16, 3).astype(np.float32)
     b = rng.rand(16, 16, 3).astype(np.float32)
-    same = float(cost(a, a))
-    diff = float(cost(a, b))
+    # batched (N,) contract so topk works in the CEM rollout engines
+    same = float(cost(a, a)[0])
+    diff = float(cost(a, b)[0])
     assert same == pytest.approx(0.0, abs=1e-6)
     assert diff < 0  # negated distance
     # unblurred path scales by unblur_cost_scale
-    assert float(cost(a, b, blur=False)) == pytest.approx(
+    assert float(cost(a, b, blur=False)[0]) == pytest.approx(
         3.0 * float(-np.mean((a - b) ** 2)), rel=1e-4
     )
 

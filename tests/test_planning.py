@@ -205,3 +205,117 @@ def test_pick_cem_gripper_clamp(svg_model, rng):
     assert np.all(plan[:, -1] <= 0.0 + 1e-6)
     assert np.all(plan[:, -1] >= -0.01 - 1e-6)
     assert np.all(np.abs(plan) <= 1.0 + 1e-6)
+
+
+# -------------------------------------------------- reward-type dispatch
+def _rw(reward_type, **kw):
+    return RobotWorldCost(PLAN_CFG.replace(reward_type=reward_type, **kw))
+
+
+def test_weighted_cost_matches_numpy(rng):
+    cfg = PLAN_CFG.replace(reward_type="weighted", robot_pixel_weight=0.1)
+    c = rng.rand(4, 8, 8, 3).astype(np.float32)
+    g = rng.rand(8, 8, 3).astype(np.float32)
+    cm = (rng.rand(4, 8, 8, 1) > 0.7).astype(np.float32)
+    gm = (rng.rand(8, 8, 1) > 0.7).astype(np.float32)
+    got = np.asarray(RobotWorldCost(cfg).world_cost(
+        jnp.asarray(c), jnp.asarray(g), jnp.asarray(cm), jnp.asarray(gm)))
+    # reference clutter_push.py:717-721 — sequential in-place multiplies,
+    # so pixels in both masks get weight^2
+    w = np.where(np.broadcast_to(gm > 0.5, c.shape[:-1] + (1,)), 0.1, 1.0)
+    w = w * np.where(cm > 0.5, 0.1, 1.0)
+    want = -np.sqrt(((255 * (c - g) * w) ** 2).reshape(4, -1).sum(1))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_blackrobot_cost_zeroes_robot_pixels(rng):
+    c = rng.rand(2, 8, 8, 3).astype(np.float32)
+    cm = np.zeros((2, 8, 8, 1), np.float32)
+    cm[:, :4] = 1.0
+    # goal pre-blacked at capture time (clutter_push.py:530-532)
+    g = c[0] * (1.0 - cm[0])
+    got = np.asarray(_rw("blackrobot").world_cost(
+        jnp.asarray(c), jnp.asarray(g), jnp.asarray(cm), None))
+    # candidate 0's non-robot pixels match the goal exactly -> zero cost
+    assert got.shape == (2,)
+    np.testing.assert_allclose(got[0], 0.0, atol=1e-4)
+    assert got[1] < -1.0
+
+
+def test_inpaint_cost_uses_background(rng):
+    c = rng.rand(1, 8, 8, 3).astype(np.float32)
+    bg = rng.rand(8, 8, 3).astype(np.float32)
+    cm = np.zeros((1, 8, 8, 1), np.float32)
+    cm[0, 2:5] = 1.0
+    # inpainted current == inpainted goal -> zero cost
+    g = c[0] * (1.0 - cm[0]) + bg * cm[0]
+    got = np.asarray(_rw("inpaint").world_cost(
+        jnp.asarray(c), jnp.asarray(g), jnp.asarray(cm), None,
+        background=jnp.asarray(bg)))
+    np.testing.assert_allclose(got[0], 0.0, atol=1e-4)
+
+
+def test_eef_inpaint_combines_robot_and_world(rng):
+    cfg = PLAN_CFG.replace(reward_type="eef_inpaint", robot_cost_weight=2.0,
+                           world_cost_weight=1.0)
+    cost = RobotWorldCost(cfg)
+    c = rng.rand(3, 8, 8, 3).astype(np.float32)
+    g = rng.rand(8, 8, 3).astype(np.float32)
+    cm = np.zeros((3, 8, 8, 1), np.float32)
+    cs = rng.rand(3, 5).astype(np.float32)
+    gs = rng.rand(5).astype(np.float32)
+    total = np.asarray(cost(jnp.asarray(c), jnp.asarray(g), jnp.asarray(cm),
+                            None, jnp.asarray(cs), jnp.asarray(gs)))
+    world = np.asarray(cost.world_cost(jnp.asarray(c), jnp.asarray(g),
+                                       jnp.asarray(cm), None))
+    robot = -np.sqrt(((cs - gs) ** 2).sum(1))
+    np.testing.assert_allclose(total, 2.0 * robot + world, rtol=1e-4)
+
+
+def test_sparse_cost_thresholds(rng):
+    cfg = PLAN_CFG.replace(reward_type="sparse", img_cost_threshold=10.0)
+    c = np.stack([np.zeros((8, 8, 3), np.float32),
+                  np.full((8, 8, 3), 0.5, np.float32)])
+    g = np.zeros((8, 8, 3), np.float32)
+    got = np.asarray(RobotWorldCost(cfg).world_cost(jnp.asarray(c),
+                                                    jnp.asarray(g)))
+    np.testing.assert_allclose(got, [0.0, -1.0])
+
+
+def test_inpaint_blur_cost_is_batched(rng):
+    """ADVICE r1 (high): InpaintBlurCost must return (N,) so topk works in
+    the batched CEM rollout engines."""
+    cfg = PLAN_CFG.replace(reward_type="inpaint-blur", img_dim=8,
+                           blur_sigma=2.0)
+    cost = RobotWorldCost(cfg)
+    c = rng.rand(5, 8, 8, 3).astype(np.float32)
+    g = rng.rand(8, 8, 3).astype(np.float32)
+    got = np.asarray(cost.world_cost(jnp.asarray(c), jnp.asarray(g)))
+    assert got.shape == (5,)
+    assert np.all(got <= 0) and np.all(np.isfinite(got))
+    # identical image -> cost strictly greater (less negative) than random
+    same = np.asarray(cost.world_cost(jnp.asarray(g[None]), jnp.asarray(g)))
+    assert same[0] > got.min()
+    # unblurred branch scales by unblur_cost_scale
+    ub = np.asarray(cost.world_cost(jnp.asarray(c), jnp.asarray(g),
+                                    blur=False))
+    want = -cfg.unblur_cost_scale * ((c - g) ** 2).reshape(5, -1).mean(1)
+    np.testing.assert_allclose(ub, want, rtol=1e-4)
+
+
+def test_rollout_engine_all_reward_types(svg_model, rng):
+    """Every config.py reward_type value must produce a finite (N,) reward
+    from the batched rollout engine (VERDICT r1 missing #5)."""
+    cfg0, params, bn = svg_model
+    for rt in ["dontcare", "weighted", "dense", "inpaint", "sparse",
+               "blackrobot", "inpaint-blur", "eef_inpaint"]:
+        cfg = cfg0.replace(reward_type=rt, img_dim=16,
+                           robot_pixel_weight=0.1)
+        sampler = TrajectorySampler(cfg, params, bn)
+        start, goal = _start_goal(cfg, rng)
+        acts = rng.uniform(-0.05, 0.05,
+                           (4, cfg.horizon, cfg.action_dim)).astype(np.float32)
+        out = sampler.generate_model_rollouts(acts, start, goal)
+        costs = np.asarray(out["sum_cost"])
+        assert costs.shape == (4,), rt
+        assert np.all(np.isfinite(costs)), rt
