@@ -115,6 +115,9 @@ class Config:
     robot_model_ckpt: Optional[str] = None
     cdna_kernel_size: int = 5
     lstm_group_norm: bool = False
+    # TPU-only: fused Pallas ConvLSTM cells on inference paths (planning /
+    # eval). Training keeps the XLA cells (the fused cell has no VJP).
+    fused_lstm: bool = True
     sample_mean: bool = False
     multiview: bool = False
     dropout: Optional[float] = None

@@ -13,6 +13,7 @@ LOCOBOT_HIGH = np.array([0.55, 0.3, 0.4, 1.0, 1.0], dtype=np.float32)
 # world-frame shift between robot bases (reference:
 # src/utils/camera_calibration.py, robonet_dataset.py:21)
 LOCO_FRANKA_DIFF = np.array([-0.365, -0.06103333], dtype=np.float32)
+LOCO_WX250S_DIFF = np.array([-0.13, -0.01], dtype=np.float32)
 
 
 def normalize(states, low, high):

@@ -181,9 +181,10 @@ def step(cfg: Config, params, state, carry: Carry, image, mask, robot, action,
     if cfg.model_use_robot_state:
         r = robot[0] if isinstance(robot, tuple) else robot
         feats.append(tile(r.astype(dtype)))
-    fused = nn.conv2d(params["state_conv"], jnp.concatenate(feats + [h], -1))
+    feed = nn.conv2d(params["state_conv"], jnp.concatenate(feats + [h], -1))
     h_pred, frame_carry = L.conv_lstm(
-        params["frame_lstm"], carry.frame, fused, cfg.lstm_group_norm
+        params["frame_lstm"], carry.frame, feed, cfg.lstm_group_norm,
+        fused=cfg.fused_lstm and not train,
     )
     ctx = image if context_image is None else context_image
     x_pred, ns_dec = decode_cdna(
@@ -260,9 +261,10 @@ class robonet:
         if cfg.model_use_robot_state:
             r = robot[0] if isinstance(robot, tuple) else robot
             feats.append(tile(r.astype(dtype)))
-        fused = nn.conv2d(params["state_conv"], jnp.concatenate(feats + [h], -1))
+        feed = nn.conv2d(params["state_conv"], jnp.concatenate(feats + [h], -1))
         h_pred, frame_carry = L.conv_lstm(
-            params["frame_lstm"], carry.frame, fused, cfg.lstm_group_norm
+            params["frame_lstm"], carry.frame, feed, cfg.lstm_group_norm,
+            fused=cfg.fused_lstm and not train,
         )
         ctx = image if context_image is None else context_image
         x_pred, ns_dec = decode_cdna(

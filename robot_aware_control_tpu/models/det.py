@@ -107,7 +107,8 @@ def step(
         feats.append(r)
     feed = jnp.concatenate(feats, -1)
     h_pred, frame_carry = L.conv_lstm(
-        params["frame_lstm"], carry.frame, feed, cfg.lstm_group_norm
+        params["frame_lstm"], carry.frame, feed, cfg.lstm_group_norm,
+        fused=cfg.fused_lstm and not train,
     )
     x_pred, new_state["decoder"] = conv_decoder(
         params["decoder"], state["decoder"], h_pred, skip, train

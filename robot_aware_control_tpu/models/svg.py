@@ -187,9 +187,11 @@ def step(
         prior_feed = jnp.concatenate([a, h], -1)
         frame_cond = [a]
 
+    fused = cfg.fused_lstm and not train
     prior_in = nn.conv2d(params["prior_in"], prior_feed)
     z_p, mu_p, logvar_p, prior_carry = L.gaussian_conv_lstm(
-        params["prior"], carry.prior, prior_in, rng_prior, cfg.lstm_group_norm
+        params["prior"], carry.prior, prior_in, rng_prior,
+        cfg.lstm_group_norm, fused=fused,
     )
     z = mu_p if sample_mean else z_p
 
@@ -213,7 +215,7 @@ def step(
         post_in = nn.conv2d(params["post_in"], post_feed)
         z_t, mu, logvar, post_carry = L.gaussian_conv_lstm(
             params["posterior"], carry.posterior, post_in, rng_post,
-            cfg.lstm_group_norm,
+            cfg.lstm_group_norm, fused=fused,
         )
         if not force_use_prior:
             z = z_t
@@ -221,7 +223,8 @@ def step(
     frame_feed = jnp.concatenate(frame_cond + [h, z.astype(dtype)], -1)
     frame_in = nn.conv2d(params["frame_in"], frame_feed)
     h_pred, frame_carry = L.conv_lstm(
-        params["frame_lstm"], carry.frame, frame_in, cfg.lstm_group_norm
+        params["frame_lstm"], carry.frame, frame_in, cfg.lstm_group_norm,
+        fused=fused,
     )
 
     x_pred, new_state["decoder"] = conv_decoder(

@@ -103,7 +103,24 @@ def conv_lstm_zero_state(batch, fh, fw, hid_ch, dtype=jnp.float32):
     return ((z(), z()), (z(), z()))
 
 
-def conv_lstm(params, state, x, group_norm_cells=False):
+def _fused_active(fused: bool, group_norm_cells: bool) -> bool:
+    """Fused Pallas cells run only on real TPU (tests/CPU interpret the
+    kernel explicitly); the GroupNorm variant keeps the XLA path."""
+    if not fused or group_norm_cells:
+        return False
+    from robot_aware_control_tpu.ops import pallas_kernels as pk
+
+    return pk.on_tpu()
+
+
+def conv_lstm(params, state, x, group_norm_cells=False, fused=False):
+    if _fused_active(fused, group_norm_cells):
+        from robot_aware_control_tpu.ops import pallas_kernels as pk
+
+        s0, s1 = state
+        h, s0 = pk.fused_conv_lstm_cell(params["cell0"], s0, x)
+        h, s1 = pk.fused_conv_lstm_cell(params["cell1"], s1, h)
+        return h, (s0, s1)
     cell = norm_conv_lstm_cell if group_norm_cells else conv_lstm_cell
     s0, s1 = state
     h, s0 = cell(params["cell0"], s0, x)
@@ -126,9 +143,10 @@ def reparameterize(rng, mu, logvar):
     return (mu.astype(jnp.float32) + eps * std).astype(mu.dtype)
 
 
-def gaussian_conv_lstm(params, state, x, rng, group_norm_cells=False):
+def gaussian_conv_lstm(params, state, x, rng, group_norm_cells=False,
+                       fused=False):
     """Returns (z, mu, logvar, new_state)."""
-    h, new_state = conv_lstm(params["lstm"], state, x, group_norm_cells)
+    h, new_state = conv_lstm(params["lstm"], state, x, group_norm_cells, fused)
     mu = nn.conv2d(params["mu"], h)
     logvar = nn.conv2d(params["logvar"], h)
     z = reparameterize(rng, mu, logvar)

@@ -36,6 +36,7 @@ import numpy as np
 from robot_aware_control_tpu.config import Config
 from robot_aware_control_tpu.data.norm import (
     LOCO_FRANKA_DIFF,
+    LOCO_WX250S_DIFF,
     LOCOBOT_HIGH,
     LOCOBOT_LOW,
     denormalize,
@@ -242,7 +243,7 @@ class TrajectorySampler:
         if self.cfg.experiment == "control_franka":
             state[:2] += LOCO_FRANKA_DIFF
         elif self.cfg.experiment == "control_wx250s":
-            state[:2] += np.array([-0.3, 0.0], np.float32)
+            state[:2] += LOCO_WX250S_DIFF
         return state
 
     def prepare_goals(self, goal: DemoGoalState, T: int):

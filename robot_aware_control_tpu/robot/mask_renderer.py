@@ -32,9 +32,32 @@ import numpy as np
 from robot_aware_control_tpu.data import calibration as calib
 from robot_aware_control_tpu.robot import locobot_kinematics as lk
 
-# per-segment radii (m) for [trunk, shoulder link, forearm, gripper]
-LOCOBOT_RADII = np.array([0.045, 0.042, 0.038, 0.050], np.float32)
-THICK_SCALE = 1.45
+# per-segment radii (m) for [trunk, shoulder link, forearm, gripper],
+# tuned against MuJoCo segmentation renders of the reference locobot.xml
+# (benchmarks/mask_fidelity.py --tune: mean IoU 0.80 over a workspace sweep)
+LOCOBOT_RADII = np.array([0.045, 0.046, 0.028, 0.042], np.float32)
+# the reference's "thick" MJCF only inflates the gripper/finger meshes 1.2x
+# (locobot_thick.xml vs locobot.xml mesh scales); model that as a
+# gripper-capsule radius scale rather than a global one
+THICK_SCALE = 1.2
+
+# Static base silhouette: world-frame capsules fitted to the reference
+# MJCF world-body geoms (locobot.xml: round mobile base cylinder r=0.178
+# at z=0.07, camera-mount plates at x=0.053 spanning y +-0.108 / z 0..0.27,
+# battery block, arm support column). The reference's segmentation masks
+# include these base geoms (masks/base_mask_env.py:42-63 marks every robot
+# geom), so the capsule mask must too. Radii tuned against MuJoCo
+# segmentation renders by benchmarks/mask_fidelity.py.
+LOCOBOT_BASE_SEGMENTS = np.array(
+    [
+        [[-0.14, 0.0, 0.07], [0.10, 0.0, 0.07]],      # mobile base (x)
+        [[0.0, -0.10, 0.07], [0.0, 0.10, 0.07]],      # mobile base (y)
+        [[0.053, -0.08, 0.15], [0.053, 0.08, 0.15]],  # camera plates
+        [[-0.005, 0.0, 0.06], [-0.005, 0.0, 0.20]],   # battery column
+    ],
+    np.float32,
+)
+LOCOBOT_BASE_RADII = np.array([0.10, 0.10, 0.08, 0.025], np.float32)
 
 
 class CapsuleMaskRenderer:
@@ -48,6 +71,9 @@ class CapsuleMaskRenderer:
         radii: Optional[np.ndarray] = None,
         thick: bool = False,
         modified: bool = False,
+        include_base: bool = True,
+        base_segments: Optional[np.ndarray] = None,
+        base_radii: Optional[np.ndarray] = None,
     ):
         self.h, self.w = image_size
         w2c = calib.get_world_to_camera(camera_key)
@@ -58,8 +84,21 @@ class CapsuleMaskRenderer:
         S = np.diag([self.w / ow, self.h / oh, 1.0])
         self._K = jnp.asarray(S @ K, jnp.float32)
         r = LOCOBOT_RADII if radii is None else np.asarray(radii, np.float32)
-        self.radii = jnp.asarray(r * (THICK_SCALE if thick else 1.0))
+        if thick:  # gripper-only inflation, like locobot_thick.xml
+            r = r.copy()
+            r[-1] = r[-1] * THICK_SCALE
+        self.radii = jnp.asarray(r)
         self.l3 = lk.L3_MODIFIED if modified else lk.L3
+        if include_base:
+            bs = (LOCOBOT_BASE_SEGMENTS if base_segments is None
+                  else np.asarray(base_segments, np.float32))
+            br = (LOCOBOT_BASE_RADII if base_radii is None
+                  else np.asarray(base_radii, np.float32))
+            self.base_segments = jnp.asarray(bs)
+            self.base_radii = jnp.asarray(br)
+        else:
+            self.base_segments = None
+            self.base_radii = None
         ys = jnp.arange(self.h, dtype=jnp.float32) + 0.5
         xs = jnp.arange(self.w, dtype=jnp.float32) + 0.5
         self._py, self._px = jnp.meshgrid(ys, xs, indexing="ij")
@@ -75,17 +114,31 @@ class CapsuleMaskRenderer:
         v = self._K[1, 1] * cam[..., 1] / z + self._K[1, 2]
         return u, v, z
 
+    def _capsules(self, qpos):
+        """FK + static base -> (a (...,S,3), b (...,S,3), radii (S,))."""
+        pts = lk.fk_points(qpos, self.l3)  # (..., 5, 3)
+        a, b = pts[..., :-1, :], pts[..., 1:, :]
+        radii = self.radii
+        if self.base_segments is not None:
+            lead = a.shape[:-2]
+            nb = self.base_segments.shape[0]
+            ba = jnp.broadcast_to(self.base_segments[:, 0], lead + (nb, 3))
+            bb = jnp.broadcast_to(self.base_segments[:, 1], lead + (nb, 3))
+            a = jnp.concatenate([a, ba], -2)
+            b = jnp.concatenate([b, bb], -2)
+            radii = jnp.concatenate([radii, self.base_radii])
+        return a, b, radii
+
     def segment_params(self, qpos):
         """FK + projection -> per-capsule pixel-space parameters
-        (..., 4, 6) = [au, av, bu, bv, ra, rb]."""
-        pts = lk.fk_points(qpos, self.l3)
-        u, v, z = self._project(pts)
+        (..., S, 6) = [au, av, bu, bv, ra, rb]."""
+        pa, pb, radii = self._capsules(qpos)
+        ua, va, za = self._project(pa)
+        ub, vb, zb = self._project(pb)
         f = self._K[0, 0]
-        r_a = f * self.radii / jnp.maximum(z[..., :-1], 1e-4)
-        r_b = f * self.radii / jnp.maximum(z[..., 1:], 1e-4)
-        return jnp.stack(
-            [u[..., :-1], v[..., :-1], u[..., 1:], v[..., 1:], r_a, r_b], -1
-        )
+        r_a = f * radii / jnp.maximum(za, 1e-4)
+        r_b = f * radii / jnp.maximum(zb, 1e-4)
+        return jnp.stack([ua, va, ub, vb, r_a, r_b], -1)
 
     def render_pallas(self, qpos, interpret: bool = False):
         """Pallas-kernel path: one program per mask, all intermediates in
@@ -102,17 +155,14 @@ class CapsuleMaskRenderer:
 
     def render(self, qpos):
         """qpos (..., >=4) -> mask (..., h, w, 1) float32 in {0,1}."""
-        pts = lk.fk_points(qpos, self.l3)  # (..., 5, 3)
-        u, v, z = self._project(pts)  # (..., 5)
-
-        a_u, b_u = u[..., :-1], u[..., 1:]  # (..., 4) segment endpoints
-        a_v, b_v = v[..., :-1], v[..., 1:]
-        a_z, b_z = z[..., :-1], z[..., 1:]
+        pa, pb, radii = self._capsules(qpos)
+        a_u, a_v, a_z = self._project(pa)  # (..., S)
+        b_u, b_v, b_z = self._project(pb)
 
         # pixel-space radius at each endpoint: f * r / depth
         f = self._K[0, 0]
-        r_a = f * self.radii / a_z
-        r_b = f * self.radii / b_z
+        r_a = f * radii / a_z
+        r_b = f * radii / b_z
 
         # distance from every pixel to every segment, radius lerped along t
         px = self._px.reshape((1,) * (a_u.ndim) + self._px.shape)  # (...,1?,h,w)

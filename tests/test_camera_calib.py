@@ -7,8 +7,13 @@ from robot_aware_control_tpu.data.camera_calib import calibrate_viewpoint, solve
 
 
 def test_solve_pnp_recovers_known_pose(rng):
+    # use an exactly-orthonormal synthetic pose: the measured registry
+    # extrinsics (calibration._MEASURED_CAMERA_TO_WORLD) are physical
+    # measurements whose rotation blocks are only orthonormal to ~1e-3,
+    # which PnP (optimizing over rigid transforms) cannot reproduce exactly
     K = calibration.CAM_INTRINSICS["intel_realsense_d435"]
-    w2c_true = calibration.get_world_to_camera("locobot_c0")
+    w2c_true = np.linalg.inv(calibration.look_at([0.9, 0.1, 0.7],
+                                                 [0.28, 0.0, 0.15]))
     R, t = w2c_true[:3, :3], w2c_true[:3, 3]
     pts3d = np.stack([
         rng.uniform(0.1, 0.5, 12), rng.uniform(-0.3, 0.3, 12),
