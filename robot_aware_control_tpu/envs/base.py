@@ -36,6 +36,12 @@ WS_HIGH = np.array([0.55, 0.3, 0.4], np.float32)
 TABLE_Z = 0.1
 ACTION_SCALE = 0.05  # eef position control scale (locobot_table_env.py:190)
 CONTACT_RADIUS = 0.045  # tip + block half-extent
+# When the tip pushes a block, MuJoCo's mocap weld lags under contact load:
+# the commanded 0.05 m step yields ~0.021 m of actual eef/object travel
+# (reference LocobotTableEnv stepping measured by
+# benchmarks/physics_fidelity.py). Both tip and block advance by this
+# fraction of the commanded displacement during contact.
+PUSH_EFFICIENCY = 0.44
 
 
 class SimState(NamedTuple):
@@ -63,8 +69,16 @@ def push_objects(obj_pos, attached, tip_prev, tip_next,
     near = jnp.sqrt(jnp.sum(d * d, -1)) < contact_radius
     low_enough = tip_next[2] < (TABLE_Z + 2.5 * obj_half + 0.03)
     pushed = (near & low_enough)[:, None] & (attached[:, None] < 0.5)
+    # point-push: the block takes only the displacement component along
+    # the tip->block contact normal (a glancing hit deflects, it doesn't
+    # drag — matches MuJoCo displacement curves, benchmarks/
+    # physics_fidelity.py)
+    n = obj_pos[:, :2] - tip_prev[None, :2]
+    nhat = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-6)
+    push_mag = jnp.maximum(jnp.sum(delta[:, :2] * nhat, -1, keepdims=True), 0.0)
+    obj_delta = push_mag * nhat
     new_xy = jnp.clip(
-        obj_pos[:, :2] + jnp.where(pushed, delta[:, :2], 0.0),
+        obj_pos[:, :2] + jnp.where(pushed, obj_delta, 0.0),
         WS_LOW[:2] + obj_half, WS_HIGH[:2] - obj_half,
     )
     held = attached[:, None] > 0.5
@@ -85,9 +99,17 @@ def physics_step(state: SimState, action, action_scale=ACTION_SCALE,
     a = jnp.clip(action[:3] if action.shape[-1] >= 3 else
                  jnp.concatenate([action, jnp.zeros(3 - action.shape[-1])]),
                  -1.0, 1.0)
-    tip_next = jnp.clip(
+    tip_free = jnp.clip(
         state.eef + a * action_scale, jnp.asarray(WS_LOW), jnp.asarray(WS_HIGH)
     )
+    # contact resistance: pushing a block slows both tip and block to
+    # PUSH_EFFICIENCY of the commanded displacement (see constant above)
+    d_free = tip_free[None, :2] - state.obj_pos[:, :2]
+    near_free = jnp.sqrt(jnp.sum(d_free * d_free, -1)) < CONTACT_RADIUS
+    low_free = tip_free[2] < (TABLE_Z + 2.5 * obj_half + 0.03)
+    pushing = jnp.any(near_free & low_free & (state.attached < 0.5))
+    eff = jnp.where(pushing, PUSH_EFFICIENCY, 1.0)
+    tip_next = state.eef + eff * (tip_free - state.eef)
     grip = state.gripper
     attached = state.attached
     if pick:
