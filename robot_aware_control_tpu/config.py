@@ -118,6 +118,8 @@ class Config:
     # TPU-only: fused Pallas ConvLSTM cells on inference paths (planning /
     # eval). Training keeps the XLA cells (the fused cell has no VJP).
     fused_lstm: bool = True
+    # orbax directory checkpoints (auto-enabled under multi-process JAX)
+    sharded_checkpoint: bool = False
     sample_mean: bool = False
     multiview: bool = False
     dropout: Optional[float] = None

@@ -169,6 +169,24 @@ def train_test_split(pairs, split: float, seed: int = 0):
     return take(idx[:cut]), take(idx[cut:])
 
 
+def _host_shard(pairs):
+    """Per-host disjoint file shard (multi-host data feed; no-op on a
+    single host). Every host must keep >=1 file so its loader can fill its
+    slice of the global batch."""
+    from robot_aware_control_tpu.parallel.mesh import host_shard_files
+
+    shard = host_shard_files(pairs)
+    return shard if shard else list(pairs)[:1]
+
+
+def _host_batch(bs: int) -> int:
+    """Per-host batch size: cfg batch sizes are GLOBAL; each host loads
+    its share and `parallel.mesh.shard_batch` assembles the global array."""
+    import jax
+
+    return max(1, bs // jax.process_count())
+
+
 def create_loaders(config: Config):
     """Train/test loaders over data_root (reference:
     robonet_dataloaders.py:21-80)."""
@@ -178,6 +196,7 @@ def create_loaders(config: Config):
     if not pairs:
         raise FileNotFoundError(f"no hdf5 under {config.data_root}")
     train, test = train_test_split(pairs, config.train_val_split, config.seed)
+    train, test = _host_shard(train), _host_shard(test)
 
     def mk(pairs_, seed, bs):
         files = [p for p, _ in pairs_]
@@ -189,8 +208,8 @@ def create_loaders(config: Config):
             seed=seed,
         )
 
-    return (mk(train, config.seed, config.batch_size),
-            mk(test, config.seed + 1, config.test_batch_size))
+    return (mk(train, config.seed, _host_batch(config.batch_size)),
+            mk(test, config.seed + 1, _host_batch(config.test_batch_size)))
 
 
 def create_transfer_loader(config: Config):
@@ -215,6 +234,7 @@ def _robot_subdir_loaders(config: Config, subdirs):
     if not pairs:
         raise FileNotFoundError(f"no hdf5 under {config.data_root}/{subdirs}")
     train, test = train_test_split(pairs, config.train_val_split, config.seed)
+    train, test = _host_shard(train), _host_shard(test)
 
     def mk(pairs_, seed, bs):
         ds = RoboNetHDF5Dataset(
@@ -225,8 +245,8 @@ def _robot_subdir_loaders(config: Config, subdirs):
                           num_workers=config.data_threads, seed=seed)
 
     return (
-        mk(train, config.seed, config.batch_size),
-        mk(test, config.seed + 1, config.test_batch_size),
+        mk(train, config.seed, _host_batch(config.batch_size)),
+        mk(test, config.seed + 1, _host_batch(config.test_batch_size)),
     )
 
 
@@ -266,6 +286,7 @@ def create_movement_loaders(config: Config):
     if not pairs:
         raise FileNotFoundError("no high-movement videos found")
     train, test = train_test_split(pairs, config.train_val_split, config.seed)
+    train, test = _host_shard(train), _host_shard(test)
 
     def mk(pairs_, seed, bs):
         ds = RoboNetHDF5Dataset(
@@ -276,8 +297,8 @@ def create_movement_loaders(config: Config):
                           num_workers=config.data_threads, seed=seed)
 
     return (
-        mk(train, config.seed, config.batch_size),
-        mk(test, config.seed + 1, config.test_batch_size),
+        mk(train, config.seed, _host_batch(config.batch_size)),
+        mk(test, config.seed + 1, _host_batch(config.test_batch_size)),
     )
 
 
@@ -290,6 +311,7 @@ def create_finetune_loaders(config: Config):
     pairs = discover_hdf5(config.data_root)
     ntr, nte = config.finetune_num_train, config.finetune_num_test
     train_pairs, test_pairs = pairs[:ntr], pairs[ntr:ntr + nte]
+    train_pairs, test_pairs = _host_shard(train_pairs), _host_shard(test_pairs)
 
     def mk(pairs_, seed, bs):
         ds = RoboNetHDF5Dataset(
@@ -298,6 +320,6 @@ def create_finetune_loaders(config: Config):
         return DataLoader(ds, bs, num_workers=config.data_threads, seed=seed)
 
     return (
-        mk(train_pairs, config.seed, config.batch_size),
-        mk(test_pairs, config.seed + 1, config.test_batch_size),
+        mk(train_pairs, config.seed, _host_batch(config.batch_size)),
+        mk(test_pairs, config.seed + 1, _host_batch(config.test_batch_size)),
     )

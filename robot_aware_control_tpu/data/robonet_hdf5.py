@@ -231,6 +231,12 @@ class RoboNetHDF5Dataset:
             mid = (high[-1] + low[-1]) / 2.0
             extra = np.where(next_gripper > mid, high[-1], low[-1])[:, None]
             return np.concatenate([actions, extra], -1)[start:end].astype(np.float32)
+        if adim < target:
+            # zero-pad to the model action space (reference pads per-robot
+            # dims to the target, robonet_dataset.py:209-223; matches the
+            # planner's pick padding [x,y,z,g] -> [x,y,z,g,0])
+            pad = np.zeros((actions.shape[0], target - adim), np.float32)
+            return np.concatenate([actions, pad], -1)[start:end]
         raise ValueError(f"file adim {adim}, target adim {target}")
 
     def _preprocess_bounds(self, low, high, idx):

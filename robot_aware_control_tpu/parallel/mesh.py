@@ -23,11 +23,49 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def get_mesh(num_devices: int = 0, axis: str = "data") -> Mesh:
-    """1-D mesh over the first `num_devices` local devices (0 = all)."""
+    """1-D mesh over the first `num_devices` devices (0 = all).
+
+    `jax.devices()` is GLOBAL under multi-process JAX, so on a multi-host
+    slice this mesh spans every chip of every host; gradient all-reduce
+    rides ICI within a slice and DCN across slices, both inserted by XLA."""
     devs = jax.devices()
     if num_devices:
         devs = devs[:num_devices]
     return Mesh(np.array(devs), (axis,))
+
+
+def process_info() -> tuple:
+    """(process_index, process_count) — (0, 1) on a single host."""
+    return jax.process_index(), jax.process_count()
+
+
+def host_shard_files(items, process_index: int = None,
+                     process_count: int = None):
+    """Disjoint per-host slice of a work list (files, episodes). The
+    multi-host data feed: each host reads only its own shard (SURVEY
+    section 2.11 — DCN appears only for input pipelines / checkpoint IO)."""
+    if process_index is None or process_count is None:
+        process_index, process_count = process_info()
+    if process_count <= 1:
+        return list(items)
+    return list(items)[process_index::process_count]
+
+
+def make_global_batch(mesh: Mesh, local_batch: dict, batch_axis_index: int = 1,
+                      axis: str = "data"):
+    """Assemble per-host local arrays into globally-sharded jax.Arrays
+    (multi-host `jax.make_array_from_process_local_data`). Each host passes
+    its LOCAL batch slice; the result behaves as the concatenated global
+    batch sharded over the mesh."""
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim > batch_axis_index:
+            sharding = batch_sharding(mesh, batch_axis_index, x.ndim, axis)
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(put, local_batch)
 
 
 def replicate(mesh: Mesh, tree):
@@ -47,7 +85,12 @@ def shard_batch(mesh: Mesh, batch: dict, batch_axis_index: int = 1, axis: str = 
 
     Arrays with fewer dims than batch_axis_index+1 are replicated.
     The batch dim must divide the mesh size; callers pad if needed.
+    Under multi-process JAX the batch is treated as host-LOCAL and
+    assembled into a global array (make_global_batch); single-process it
+    is a plain device_put.
     """
+    if jax.process_count() > 1:
+        return make_global_batch(mesh, batch, batch_axis_index, axis)
 
     def put(x):
         x = np.asarray(x) if not isinstance(x, jax.Array) else x

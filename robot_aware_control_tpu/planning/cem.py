@@ -39,6 +39,7 @@ class CEMPolicy:
 
     action_dim = 2
     zero_candidate = True
+    engine_pick = False
 
     def __init__(self, cfg: Config, params, bn, horizon=None, opt_iter=None,
                  action_candidates=None, topk=None, init_std=None, mesh=None,
@@ -62,6 +63,7 @@ class CEMPolicy:
             n_dev = mesh.devices.size
             if self.num_candidates % n_dev:
                 self.num_candidates = -(-self.num_candidates // n_dev) * n_dev
+        engine_kw.setdefault("pick", self.engine_pick)
         self.engine = RolloutEngine(cfg, **engine_kw)
         self.traj_sampler = TrajectorySampler(cfg, params, bn, **engine_kw)
         self._plan = jax.jit(self._build_plan())
@@ -100,7 +102,7 @@ class CEMPolicy:
         T = self.horizon
 
         def plan(params, bn, start_img, start_state_norm, start_qpos,
-                 goal_imgs, goal_masks, rng, mean0, std0):
+                 goal_imgs, goal_masks, goal_states, rng, mean0, std0):
             def body(i, carry):
                 rng, mean, std = carry
                 rng, k_s, k_r = jax.random.split(rng, 3)
@@ -122,6 +124,7 @@ class CEMPolicy:
                 sum_cost = self.engine(
                     params, bn, start_img, start_state_norm, start_qpos,
                     padded, goal_imgs, goal_masks, k_r,
+                    goal_states=goal_states,
                 )
                 _, top_idx = jax.lax.top_k(sum_cost, K)
                 top_act = acts[top_idx]
@@ -154,7 +157,9 @@ class CEMPolicy:
         if start.qpos is not None:
             q = np.asarray(start.qpos, np.float32).ravel()
             qpos[: min(5, len(q))] = q[:5]
-        goal_imgs, goal_masks = self.traj_sampler.prepare_goals(goal, T - 1)
+        goal_imgs, goal_masks, goal_states = self.traj_sampler.prepare_goals(
+            goal, T - 1
+        )
         if rng is None:
             rng = jax.random.PRNGKey(cfg.seed + 7919 * ep_num + step)
         mean0, std0 = self.init_mean_std(T, opt_traj)
@@ -162,6 +167,7 @@ class CEMPolicy:
             self.params, self.bn, jnp.asarray(img), jnp.asarray(state_norm),
             jnp.asarray(qpos), jnp.asarray(goal_imgs),
             None if goal_masks is None else jnp.asarray(goal_masks),
+            None if goal_states is None else jnp.asarray(goal_states),
             rng, mean0, std0,
         )
         mean = np.asarray(mean)
@@ -209,6 +215,7 @@ class PickCEMPolicy(CEMPolicy):
 
     action_dim = 4
     zero_candidate = False
+    engine_pick = True
 
     def init_mean_std(self, T: int, opt_traj=None):
         mean = jnp.zeros((T - 1, 4), jnp.float32)

@@ -45,9 +45,12 @@ class GTRolloutEngine:
         )
 
     def __call__(self, state0: SimState, actions, goal_imgs, goal_masks,
-                 ret_obs: bool = False):
+                 goal_states=None, ret_obs: bool = False):
         """state0: SimState pytree (unbatched); actions (N, T, A);
-        goal_imgs (T, H, W, 3); goal_masks (T, H, W, 1) or None.
+        goal_imgs (T, H, W, 3); goal_masks (T, H, W, 1) or None;
+        goal_states (T, 5) raw demo eef states or None — with
+        robot_cost_weight != 0 a per-step eef cost is added exactly as the
+        reference pick sampler does (pick/trajectory_sampler.py:104-126).
         Returns sum_cost (N,) [and obs (T, N, H, W, 3)]."""
         cfg = self.cfg
         N, T = actions.shape[0], actions.shape[1]
@@ -73,6 +76,11 @@ class GTRolloutEngine:
 
         goal_imgs_b = goal_imgs[None]  # broadcast over N
         gm = goal_masks if goal_masks is not None else jnp.zeros_like(masks[:1, 0])
+        use_robot_cost = cfg.robot_cost_weight != 0 and goal_states is not None
+        if use_robot_cost:
+            eef = trajs.eef  # (N, T, 3) raw world positions
+            pad = jnp.zeros(eef.shape[:-1] + (2,), eef.dtype)
+            states_raw = jnp.concatenate([eef, pad], -1)
         rewards = []
         # vectorized over N per step; T is small (<=horizon)
         for t in range(T):
@@ -80,6 +88,8 @@ class GTRolloutEngine:
                 imgs[:, t], goal_imgs[t],
                 curr_mask=masks[:, t],
                 goal_mask=goal_masks[t] if goal_masks is not None else gm[0],
+                curr_state=states_raw[:, t] if use_robot_cost else None,
+                goal_state=goal_states[t] if use_robot_cost else None,
             ))
         rewards = jnp.stack(rewards)  # (T, N)
         sum_cost = rewards[-1] if cfg.sparse_cost else jnp.sum(rewards, 0)
@@ -100,7 +110,8 @@ class _GTMixin:
     def _build_gt_plan(self):
         N, K = self.num_candidates, self.topk
 
-        def plan(state0, goal_imgs, goal_masks, rng, mean0, std0):
+        def plan(state0, goal_imgs, goal_masks, goal_states, rng, mean0,
+                 std0):
             def body(i, carry):
                 rng, mean, std = carry
                 rng, k_s = jax.random.split(rng)
@@ -112,7 +123,8 @@ class _GTMixin:
                     acts = jnp.where(i == 0, zeroed, acts)
                 acts = self.clamp(acts)
                 padded = self.pad(acts)
-                sum_cost = self.gt_engine(state0, padded, goal_imgs, goal_masks)
+                sum_cost = self.gt_engine(state0, padded, goal_imgs,
+                                          goal_masks, goal_states=goal_states)
                 _, top_idx = jax.lax.top_k(sum_cost, K)
                 top_act = acts[top_idx]
                 return (rng, jnp.mean(top_act, 0),
@@ -127,13 +139,16 @@ class _GTMixin:
     def get_action(self, start: State, goal: DemoGoalState, ep_num=0, step=0,
                    opt_traj=None, rng=None):
         T = self.horizon
-        goal_imgs, goal_masks = self.traj_sampler.prepare_goals(goal, T - 1)
+        goal_imgs, goal_masks, goal_states = self.traj_sampler.prepare_goals(
+            goal, T - 1
+        )
         if rng is None:
             rng = jax.random.PRNGKey(self.cfg.seed + 7919 * ep_num + step)
         mean0, std0 = self.init_mean_std(T, opt_traj)
         mean = self._plan_gt(
             self.env.state, jnp.asarray(goal_imgs),
             None if goal_masks is None else jnp.asarray(goal_masks),
+            None if goal_states is None else jnp.asarray(goal_states),
             rng, mean0, std0,
         )
         return np.asarray(mean)

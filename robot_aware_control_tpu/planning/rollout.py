@@ -69,8 +69,13 @@ class RolloutEngine:
     def __init__(self, cfg: Config, camera_key: str = "locobot_c0",
                  push_height: float = lk.PUSH_HEIGHT,
                  default_pitch: float = lk.DEFAULT_PITCH,
-                 default_roll: float = lk.DEFAULT_ROLL):
+                 default_roll: float = lk.DEFAULT_ROLL,
+                 pick: bool = False):
         self.cfg = cfg
+        # pick rollouts integrate full 3-D eef motion (reference steps
+        # MuJoCo per candidate per step for this —
+        # src/cem/pick/trajectory_sampler.py:253-266)
+        self.pick = pick
         self.cost = RobotWorldCost(cfg)
         self.push_height = push_height
         self.default_pitch = default_pitch
@@ -95,20 +100,28 @@ class RolloutEngine:
         (replaces reference trajectory_sampler.py:86-107).
 
         start_state_norm (5,), start_qpos (>=5,), actions_tna (T, N, >=2).
-        Returns (states_norm (T+1,N,5), masks (T+1,N,h,w,1))."""
+        Returns (states_norm (T+1,N,rd), states_raw (T+1,N,5),
+        masks (T+1,N,h,w,1))."""
         N = actions_tna.shape[1]
         start_raw = denormalize(start_state_norm, self.low, self.high)
         start_raw_n = jnp.broadcast_to(start_raw, (N,) + start_raw.shape)
         qpos_n = jnp.broadcast_to(
             start_qpos[:5], (N, 5)
         ).astype(jnp.float32)
-        # env-unit actions -> metric eef displacements (config.py docs)
-        planar = actions_tna[..., :2] * self.cfg.eef_action_scale
-        states_raw, qpos = lk.integrate_planar_actions(
-            start_raw_n, qpos_n, planar,
-            push_height=self.push_height, pitch=self.default_pitch,
-            roll=self.default_roll,
-        )
+        if self.pick:
+            # pick actions are already env-unit eef deltas (x0.05 inside)
+            states_raw, qpos = lk.integrate_pick_actions(
+                start_raw_n, qpos_n, actions_tna,
+                pitch=self.default_pitch, roll=self.default_roll,
+            )
+        else:
+            # env-unit actions -> metric eef displacements (config.py docs)
+            planar = actions_tna[..., :2] * self.cfg.eef_action_scale
+            states_raw, qpos = lk.integrate_planar_actions(
+                start_raw_n, qpos_n, planar,
+                push_height=self.push_height, pitch=self.default_pitch,
+                roll=self.default_roll,
+            )
         if self._use_pallas:
             masks = self.renderer_thick.render_pallas(qpos)
         else:
@@ -123,14 +136,18 @@ class RolloutEngine:
             states_norm = jnp.concatenate([states_norm, pad], -1)
         elif states_norm.shape[-1] > rd:
             states_norm = states_norm[..., :rd]
-        return states_norm, masks
+        return states_norm, states_raw, masks
 
     # ------------------------------------------------------------------
     def __call__(self, params, bn, start_img, start_state_norm, start_qpos,
-                 actions, goal_imgs, goal_masks, rng, ret_obs: bool = False):
+                 actions, goal_imgs, goal_masks, rng, goal_states=None,
+                 ret_obs: bool = False):
         """actions (N, T, A>=2); start_img (H,W,C) float [0,1];
         goal_imgs (T, H, W, C) pre-indexed per step (goal_idx = min(t, G-1));
-        goal_masks (T, H, W, 1) or None.
+        goal_masks (T, H, W, 1) or None; goal_states (T, 5) raw demo eef
+        states or None — when given and robot_cost_weight != 0, a per-step
+        robot-state cost is added exactly as the reference pick sampler does
+        (src/cem/pick/trajectory_sampler.py:267-285).
 
         Returns sum_cost (N,) [and obs (T,N,H,W,C) when ret_obs]."""
         cfg = self.cfg
@@ -138,14 +155,16 @@ class RolloutEngine:
         actions_tna = jnp.moveaxis(actions, 0, 1)  # (T, N, A)
 
         if self.use_robot:
-            states, masks = self.robot_trajectory(
+            states, states_raw, masks = self.robot_trajectory(
                 start_state_norm, start_qpos, actions_tna
             )
         else:
             states = jnp.zeros((T + 1, N, cfg.robot_dim), jnp.float32)
+            states_raw = jnp.zeros((T + 1, N, 5), jnp.float32)
             masks = jnp.zeros(
                 (T + 1, N, cfg.image_height, cfg.image_width, 1), jnp.float32
             )
+        use_robot_cost = cfg.robot_cost_weight != 0 and goal_states is not None
 
         # rollout images ride in the compute dtype; costs cast to f32
         curr_img = jnp.broadcast_to(
@@ -163,12 +182,18 @@ class RolloutEngine:
             "m_t1": masks[1:],
             "s_t": states[:-1],
             "s_t1": states[1:],
+            "s_raw_t1": states_raw[1:],
             "a": actions_tna,
             "goal_img": goal_imgs,
             "goal_mask": (
                 goal_masks
                 if goal_masks is not None
                 else jnp.zeros((T,) + start_img.shape[:-1] + (1,), jnp.float32)
+            ),
+            "goal_state": (
+                jnp.asarray(goal_states, jnp.float32)
+                if use_robot_cost
+                else jnp.zeros((T, 5), jnp.float32)
             ),
         }
 
@@ -200,6 +225,8 @@ class RolloutEngine:
             reward = self.cost(
                 next_img, inp["goal_img"],
                 curr_mask=inp["m_t1"], goal_mask=inp["goal_mask"],
+                curr_state=inp["s_raw_t1"] if use_robot_cost else None,
+                goal_state=inp["goal_state"] if use_robot_cost else None,
             )
             new_carry = {"model": model_carry, "img": next_img, "rng": rng}
             emit = (reward, next_img) if ret_obs else reward
@@ -248,7 +275,8 @@ class TrajectorySampler:
 
     def prepare_goals(self, goal: DemoGoalState, T: int):
         """Per-step goal arrays with goal_idx = min(t, G-1)
-        (reference: trajectory_sampler.py:154-158)."""
+        (reference: trajectory_sampler.py:154-158; pick adds per-step goal
+        robot states, pick/trajectory_sampler.py:280-282)."""
         imgs = [np.asarray(g, np.float32) for g in goal.imgs]
         imgs = [g / 255.0 if g.max() > 1.5 else g for g in imgs]
         idx = np.minimum(np.arange(T), len(imgs) - 1)
@@ -258,7 +286,14 @@ class TrajectorySampler:
             ms = [np.asarray(m, np.float32).reshape(imgs[0].shape[:2] + (1,))
                   for m in goal.masks]
             goal_masks = np.stack([ms[i] for i in idx])
-        return goal_imgs, goal_masks
+        goal_states = None
+        if goal.states is not None:
+            sts = []
+            for s in goal.states:
+                s = np.asarray(s, np.float32).ravel()[:5]
+                sts.append(np.pad(s, (0, 5 - len(s))))
+            goal_states = np.stack([sts[i] for i in idx])
+        return goal_imgs, goal_masks, goal_states
 
     def generate_model_rollouts(self, action_sequences, start: State,
                                 goal: DemoGoalState, opt_traj=None,
@@ -283,7 +318,7 @@ class TrajectorySampler:
         if start.qpos is not None:
             q = np.asarray(start.qpos, np.float32).ravel()
             qpos[: min(5, len(q))] = q[:5]
-        goal_imgs, goal_masks = self.prepare_goals(goal, T)
+        goal_imgs, goal_masks, goal_states = self.prepare_goals(goal, T)
         if rng is None:
             rng = jax.random.PRNGKey(cfg.seed)
 
@@ -292,7 +327,8 @@ class TrajectorySampler:
                     jnp.asarray(state_norm), jnp.asarray(qpos),
                     jnp.asarray(acts), jnp.asarray(goal_imgs),
                     None if goal_masks is None else jnp.asarray(goal_masks),
-                    rng)
+                    rng,
+                    None if goal_states is None else jnp.asarray(goal_states))
 
         rollouts = {}
         if ret_obs:

@@ -168,3 +168,46 @@ def integrate_planar_actions(start_eef, start_qpos, actions,
     pad = jnp.zeros(eefs.shape[:-1] + (2,), eefs.dtype)
     states = jnp.concatenate([eefs, pad], -1)
     return states, qs
+
+
+# pick-env workspace bounds (reference: locobot_pick_env eef clip — same
+# mocap x0.05 + clip scheme as the table env, envs/base.py WS_LOW/HIGH)
+PICK_WS_LOW = jnp.array([0.015, -0.3, 0.1])
+PICK_WS_HIGH = jnp.array([0.55, 0.3, 0.4])
+
+
+def integrate_pick_actions(start_eef, start_qpos, actions,
+                           action_scale: float = 0.05,
+                           pitch: float = DEFAULT_PITCH,
+                           roll: float = DEFAULT_ROLL,
+                           l3: float = L3):
+    """3-D eef integration for pick rollouts (reference pick sampler steps
+    MuJoCo per candidate per step to track the eef —
+    src/cem/pick/trajectory_sampler.py:253-266; here the env's eef update
+    rule — action[:3]*0.05, clipped to the workspace
+    (locobot_pick_env.py:163-238) — plus full 3-D analytic IK runs fused
+    on device).
+
+    start_eef (..., >=3) raw world xyz; start_qpos (..., 5);
+    actions (T, ..., >=3) in env units.
+    Returns (states (T+1, ..., 5) rows [x, y, z, 0, 0], qpos (T+1, ..., 5)).
+    """
+    import jax
+
+    def step(carry, act):
+        eef, q = carry
+        nxt = jnp.clip(
+            eef + act[..., :3] * action_scale, PICK_WS_LOW, PICK_WS_HIGH
+        )
+        theta, _ = ik(nxt, -pitch, q[..., :4], l3)
+        q_new = jnp.concatenate(
+            [theta, jnp.full_like(theta[..., :1], roll)], -1
+        )
+        return (nxt, q_new), (nxt, q_new)
+
+    eef0 = start_eef[..., :3]
+    (_, _), (eefs, qs) = jax.lax.scan(step, (eef0, start_qpos), actions)
+    eefs = jnp.concatenate([eef0[None], eefs], 0)
+    qs = jnp.concatenate([start_qpos[None], qs], 0)
+    pad = jnp.zeros(eefs.shape[:-1] + (2,), eefs.dtype)
+    return jnp.concatenate([eefs, pad], -1), qs

@@ -64,12 +64,13 @@ def save_checkpoint(log_dir: str, step: int, trees: Dict[str, Any]):
 
 
 def latest_checkpoint(log_dir: str) -> Optional[str]:
-    """Newest ckpt_<step>.npz by step (reference: trainer.py:846-861)."""
+    """Newest ckpt_<step> by step (reference: trainer.py:846-861). Both
+    .npz files and orbax directories are recognized."""
     if not os.path.isdir(log_dir):
         return None
     best, best_step = None, -1
     for fn in os.listdir(log_dir):
-        m = re.fullmatch(r"ckpt_(\d+)\.npz", fn)
+        m = re.fullmatch(r"ckpt_(\d+)(\.npz)?", fn)
         if m and int(m.group(1)) > best_step:
             best_step = int(m.group(1))
             best = os.path.join(log_dir, fn)
@@ -80,7 +81,10 @@ def load_checkpoint(
     path: str, templates: Dict[str, Any]
 ) -> Tuple[Dict[str, Any], int]:
     """Restore named pytrees into matching templates. Missing template names
-    are skipped (e.g. finetune skips the optimizer, trainer.py:892-896)."""
+    are skipped (e.g. finetune skips the optimizer, trainer.py:892-896).
+    Dispatches to the orbax path for directory checkpoints."""
+    if os.path.isdir(path):
+        return load_checkpoint_sharded(path, templates)
     with np.load(path, allow_pickle=False) as data:
         flat = {k: data[k] for k in data.files}
     step = int(flat.pop("__step__"))
@@ -91,4 +95,50 @@ def load_checkpoint(
         if not sub:
             raise KeyError(f"checkpoint has no tree named {name!r}")
         out[name] = _unflatten(template, sub)
+    return out, step
+
+
+# ---------------------------------------------------------------------------
+# Sharded (multi-host) checkpoints via orbax.
+#
+# Multi-host training cannot funnel every shard through one host's .npz:
+# orbax coordinates a distributed save where each host writes its own
+# shards and restore re-lays arrays out onto the current mesh. Same
+# `ckpt_<step>` auto-resume contract; the checkpoint is a DIRECTORY.
+
+
+def save_checkpoint_sharded(log_dir: str, step: int, trees: Dict[str, Any]):
+    import orbax.checkpoint as ocp
+
+    os.makedirs(log_dir, exist_ok=True)
+    path = os.path.abspath(os.path.join(log_dir, f"ckpt_{step}"))
+    with ocp.PyTreeCheckpointer() as cp:
+        cp.save(path, {"trees": trees, "step": step}, force=True)
+    return path
+
+
+def load_checkpoint_sharded(
+    path: str, templates: Dict[str, Any], shardings: Optional[Dict] = None
+) -> Tuple[Dict[str, Any], int]:
+    """Restore a directory checkpoint. `shardings` (optional) mirrors
+    `templates` with jax.sharding.Sharding leaves to restore arrays
+    directly into a mesh layout."""
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as cp:
+        restored = cp.restore(os.path.abspath(path))
+    step = int(restored["step"])
+    out = {}
+    for name, template in templates.items():
+        if name not in restored["trees"]:
+            raise KeyError(f"checkpoint has no tree named {name!r}")
+        got = restored["trees"][name]
+        _, treedef = jax.tree_util.tree_flatten(template)
+        got_flat = jax.tree_util.tree_leaves(got)
+        if treedef.num_leaves != len(got_flat):
+            raise ValueError(f"tree {name!r} leaf count mismatch")
+        tree = jax.tree_util.tree_unflatten(treedef, got_flat)
+        if shardings is not None and name in shardings:
+            tree = jax.device_put(tree, shardings[name])
+        out[name] = tree
     return out, step

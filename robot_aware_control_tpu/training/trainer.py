@@ -331,7 +331,12 @@ class PredictionTrainer:
     # ------------------------------------------------------------------
     def _save(self, epoch: int):
         trees = {"params": self.params, "bn": self.bn, "opt": self.opt_state}
-        path = ckpt.save_checkpoint(self.log_dir, self._step, trees)
+        # multi-host runs need the coordinated orbax writer (each host
+        # persists its own shards); single-host keeps the flat .npz
+        if self.cfg.sharded_checkpoint or jax.process_count() > 1:
+            path = ckpt.save_checkpoint_sharded(self.log_dir, self._step, trees)
+        else:
+            path = ckpt.save_checkpoint(self.log_dir, self._step, trees)
         self.logger.info(f"saved checkpoint {path} (epoch {epoch})")
 
     def _resume(self):

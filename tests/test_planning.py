@@ -156,7 +156,7 @@ def test_sparse_cost_uses_final_step_only(svg_model, rng):
     dense_eng = RolloutEngine(cfg)
     sparse_eng = RolloutEngine(cfg.replace(sparse_cost=True))
     sampler = TrajectorySampler(cfg, params, bn)
-    goal_imgs, goal_masks = sampler.prepare_goals(goal, 3)
+    goal_imgs, goal_masks, _ = sampler.prepare_goals(goal, 3)
     import jax.numpy as jnp
 
     args = (params, bn, jnp.asarray(start.img),
@@ -168,6 +168,49 @@ def test_sparse_cost_uses_final_step_only(svg_model, rng):
     sparse = np.asarray(jax.jit(sparse_eng)(*args))
     # sparse cost magnitude is a single step's reward: strictly smaller sum
     assert np.all(np.abs(sparse) < np.abs(dense))
+
+
+def test_pick_rollout_tracks_z_and_robot_cost(svg_model, rng):
+    """Pick engine integrates full 3-D eef motion and, with
+    robot_cost_weight != 0 and demo goal states, ranks candidates by eef
+    proximity (reference: pick/trajectory_sampler.py:242-285)."""
+    cfg, params, bn = svg_model
+    cfg = cfg.replace(robot_cost_weight=5.0, world_cost_weight=0.0)
+    sampler = TrajectorySampler(cfg, params, bn, pick=True)
+    h, w = cfg.image_height, cfg.image_width
+    start = State(
+        img=rng.rand(h, w, 3).astype(np.float32),
+        state=np.array([0.3, 0.0, 0.2, 0, 0], np.float32),
+        qpos=np.zeros(5, np.float32),
+    )
+    goal_state = np.array([0.3, 0.0, 0.12, 0, 0], np.float32)
+    goal = DemoGoalState(
+        imgs=[rng.rand(h, w, 3).astype(np.float32)],
+        masks=[np.zeros((h, w), np.float32)],
+        states=[goal_state],
+    )
+    # candidate 0 descends toward the goal z; candidate 1 ascends
+    acts = np.zeros((2, 3, 5), np.float32)
+    acts[0, :, 2] = -0.5
+    acts[1, :, 2] = 0.5
+    out = sampler.generate_model_rollouts(acts, start, goal)
+    assert out["sum_cost"][0] > out["sum_cost"][1]
+
+
+def test_integrate_pick_actions_clips_and_descends():
+    from robot_aware_control_tpu.robot import locobot_kinematics as lk
+
+    start = jnp.asarray([0.3, 0.0, 0.2], jnp.float32)
+    q0 = jnp.zeros(5, jnp.float32)
+    acts = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0, 0.0]], jnp.float32),
+                    (5, 1))
+    states, qpos = lk.integrate_pick_actions(start, q0, acts)
+    z = np.asarray(states[:, 2])
+    assert z[0] == pytest.approx(0.2)
+    # descends 0.05/step and clips at the workspace floor 0.1
+    assert z[1] == pytest.approx(0.15, abs=1e-5)
+    assert z[-1] == pytest.approx(0.1, abs=1e-5)
+    assert qpos.shape == (6, 5)
 
 
 def test_opt_traj_cost_reported(svg_model, rng):
