@@ -24,6 +24,12 @@ REFERENCE_ROLLOUTS_PER_SEC uses the composed A100 estimate. Re-run
 benchmarks/torch_reference_cem.py to regenerate.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+BENCH_TRAIN=1 switches to the second north-star metric, SVG train
+frames/sec/chip (BASELINE.json config #2): one jitted whole-window train
+step at the canonical robot-aware config, denominator = the measured
+reference trainer step extrapolated to A100
+(BASELINE_MEASURED.json reference_a100_train_frames_per_sec).
 """
 
 from __future__ import annotations
@@ -37,9 +43,74 @@ import numpy as np
 
 # measured A100 composition — see module docstring + BASELINE_MEASURED.json
 REFERENCE_ROLLOUTS_PER_SEC = 117.4
+REFERENCE_TRAIN_FRAMES_PER_SEC = 807.5
+
+
+def bench_train(smoke: bool):
+    import jax.numpy as jnp
+
+    from robot_aware_control_tpu.config import Config
+    from robot_aware_control_tpu.models.registry import get_model
+    from robot_aware_control_tpu.training.step import make_train_step
+
+    cfg = Config(
+        model="svg",
+        g_dim=64 if smoke else 256,
+        z_dim=16 if smoke else 64,
+        image_height=48,
+        image_width=64,
+        action_dim=5,
+        robot_dim=5,
+        robot_joint_dim=5,
+        n_past=1,
+        n_future=5,
+        batch_size=16,
+        model_use_mask=True,
+        model_use_future_mask=True,
+        model_use_robot_state=True,
+        reconstruction_loss="dontcare_l1",
+        scheduled_sampling=True,
+        compute_dtype="bfloat16",
+        remat=True,
+    )
+    model = get_model(cfg)
+    params, bn = model.init(jax.random.PRNGKey(0), cfg)
+    tstep, tx = make_train_step(cfg)
+    opt_state = tx.init(params)
+    W, B = cfg.n_past + cfg.n_future, cfg.batch_size
+    rng = np.random.RandomState(0)
+    h, w = cfg.image_height, cfg.image_width
+    batch = {
+        "images": jnp.asarray(rng.rand(W, B, h, w, 3), jnp.float32),
+        "masks": jnp.asarray(rng.rand(W, B, h, w, 1) > 0.8, jnp.float32),
+        "states": jnp.asarray(rng.rand(W, B, 5), jnp.float32),
+        "actions": jnp.asarray(rng.rand(W - 1, B, 5), jnp.float32),
+    }
+    key = jax.random.PRNGKey(0)
+    prob = jnp.float32(1.0)
+    params, bn, opt_state, metrics = tstep(params, bn, opt_state, batch,
+                                           key, prob)
+    float(metrics["loss"])  # force through the tunnel
+    reps = 3 if smoke else 20
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        params, bn, opt_state, metrics = tstep(params, bn, opt_state, batch,
+                                               key, prob)
+    float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / reps
+    fps = B * W / dt
+    print(json.dumps({
+        "metric": "svg_train_frames_per_sec_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s/chip (whole-window jitted step, batch 16)",
+        "vs_baseline": round(fps / REFERENCE_TRAIN_FRAMES_PER_SEC, 3),
+    }))
 
 
 def main():
+    if bool(int(os.environ.get("BENCH_TRAIN", "0"))):
+        bench_train(bool(int(os.environ.get("BENCH_SMOKE", "0"))))
+        return
     smoke = bool(int(os.environ.get("BENCH_SMOKE", "0")))
 
     from robot_aware_control_tpu.config import Config

@@ -75,10 +75,43 @@ def frechet_distance(mu1, sigma1, mu2, sigma2):
     return float(diff @ diff + np.trace(sigma1 + sigma2 - 2.0 * covmean))
 
 
+def make_i3d_embed_fn(weights_path: Optional[str] = None) -> Callable:
+    """Real I3D embedding (evaluation/i3d.py — the reference's TF-Hub
+    i3d-kinetics-400 architecture). With `weights_path` (converted npz)
+    FVD values are comparable to the reference's; without it the I3D runs
+    with random init — self-consistent only."""
+    from robot_aware_control_tpu.evaluation import i3d
+
+    params = (i3d.load_npz(weights_path) if weights_path
+              else i3d.init(jax.random.PRNGKey(42)))
+
+    def embed(videos):
+        return i3d.embed(params, videos)
+
+    embed.caveat = (
+        None if weights_path else
+        "I3D weights not loaded (offline build): random-init I3D — FVD "
+        "values are self-consistent, NOT comparable to reference I3D-FVD"
+    )
+    return embed
+
+
 def fvd(real_videos, fake_videos,
-        embed_fn: Optional[Callable] = None) -> float:
-    """real/fake (B, T, H, W, 3) float [0,1]."""
+        embed_fn: Optional[Callable] = None,
+        i3d_weights: Optional[str] = None) -> float:
+    """real/fake (B, T, H, W, 3) float [0,1]. Pass `i3d_weights` (converted
+    npz, see evaluation/i3d.py) for reference-comparable I3D-FVD."""
+    if embed_fn is None and i3d_weights is not None:
+        embed_fn = make_i3d_embed_fn(i3d_weights)
     embed = embed_fn or default_embed_fn
+    caveat = getattr(embed, "caveat", None) if embed_fn is not None else (
+        "random-feature embedder (no I3D weights): FVD values are "
+        "self-consistent, NOT comparable to reference I3D-FVD"
+    )
+    if caveat:
+        import sys
+
+        print(f"[fvd] {caveat}", file=sys.stderr)
     e1 = np.asarray(embed(real_videos), np.float64)
     e2 = np.asarray(embed(fake_videos), np.float64)
     mu1, mu2 = e1.mean(0), e2.mean(0)

@@ -1,0 +1,243 @@
+"""I3D (Inflated Inception-V1 3D) video network in JAX, for FVD.
+
+Reference parity: the reference computes FVD with the TF-Hub I3D
+Kinetics-400 network (reference: src/prediction/evaluation/
+frechet_video_distance/frechet_video_distance.py:37-56, module
+"deepmind/i3d-kinetics-400/1"). TF-Hub is unreachable from this offline
+build, so this module reimplements the exact architecture ("Quo Vadis"
+I3D: Inception-V1 inflated to 3-D, 400-way logits) with a weight-import
+hook:
+
+  * `init(key)` — random init (He fan-in), for shape tests and
+    self-consistent FVD runs,
+  * `load_npz(path)` — load converted weights from an .npz whose keys are
+    this module's parameter paths (`<block>/<unit>/w`, `/beta`,
+    `/moving_mean`, `/moving_var`); `convert_tf_checkpoint` documents the
+    TF-Hub variable-name mapping so weights can be converted offline on
+    any machine with TF access and shipped as a single file,
+  * `embed(params, videos)` — (B, T, H, W, 3) in [0, 1] -> (B, 400)
+    logits, the exact embedding FVD uses.
+
+Every unit is Conv3D (no bias) + BatchNorm (beta only, scale fixed at 1,
+eps 1e-3 — TF-Slim I3D convention) + ReLU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NUM_CLASSES = 400
+
+# Inception-V1 mixed-block branch widths: (b0_1x1, b1_reduce, b1_3x3,
+# b2_reduce, b2_3x3, b3_pool_proj)
+MIXED = {
+    "Mixed_3b": (64, 96, 128, 16, 32, 32),
+    "Mixed_3c": (128, 128, 192, 32, 96, 64),
+    "Mixed_4b": (192, 96, 208, 16, 48, 64),
+    "Mixed_4c": (160, 112, 224, 24, 64, 64),
+    "Mixed_4d": (128, 128, 256, 24, 64, 64),
+    "Mixed_4e": (112, 144, 288, 32, 64, 64),
+    "Mixed_4f": (256, 160, 320, 32, 128, 128),
+    "Mixed_5b": (256, 160, 320, 32, 128, 128),
+    "Mixed_5c": (384, 192, 384, 48, 128, 128),
+}
+MIXED_ORDER = list(MIXED)
+
+
+def _unit_init(key, k, cin, cout):
+    shape = (k[0], k[1], k[2], cin, cout)
+    fan_in = np.prod(shape[:-1])
+    return {
+        "w": jax.random.normal(key, shape) * np.sqrt(2.0 / fan_in),
+        "beta": jnp.zeros((cout,)),
+        "moving_mean": jnp.zeros((cout,)),
+        "moving_var": jnp.ones((cout,)),
+    }
+
+
+def _unit(params, x, stride=(1, 1, 1)):
+    y = jax.lax.conv_general_dilated(
+        x, params["w"].astype(x.dtype), window_strides=stride, padding="SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    inv = jax.lax.rsqrt(params["moving_var"] + 1e-3)
+    y = (y - params["moving_mean"]) * inv + params["beta"]
+    return jax.nn.relu(y)
+
+
+def _maxpool(x, window, stride):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        (1,) + window + (1,), (1,) + stride + (1,), "SAME",
+    )
+
+
+def _mixed_init(key, cin, widths):
+    b0, b1r, b1, b2r, b2, b3 = widths
+    ks = jax.random.split(key, 6)
+    return {
+        "b0": _unit_init(ks[0], (1, 1, 1), cin, b0),
+        "b1a": _unit_init(ks[1], (1, 1, 1), cin, b1r),
+        "b1b": _unit_init(ks[2], (3, 3, 3), b1r, b1),
+        "b2a": _unit_init(ks[3], (1, 1, 1), cin, b2r),
+        "b2b": _unit_init(ks[4], (3, 3, 3), b2r, b2),
+        "b3": _unit_init(ks[5], (1, 1, 1), cin, b3),
+    }
+
+
+def _mixed(params, x):
+    y0 = _unit(params["b0"], x)
+    y1 = _unit(params["b1b"], _unit(params["b1a"], x))
+    y2 = _unit(params["b2b"], _unit(params["b2a"], x))
+    y3 = _unit(params["b3"], _maxpool(x, (3, 3, 3), (1, 1, 1)))
+    return jnp.concatenate([y0, y1, y2, y3], -1)
+
+
+def init(key=None):
+    key = key if key is not None else jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4 + len(MIXED))
+    params = {
+        "Conv3d_1a_7x7": _unit_init(ks[0], (7, 7, 7), 3, 64),
+        "Conv3d_2b_1x1": _unit_init(ks[1], (1, 1, 1), 64, 64),
+        "Conv3d_2c_3x3": _unit_init(ks[2], (3, 3, 3), 64, 192),
+    }
+    cin = 192
+    for i, name in enumerate(MIXED_ORDER):
+        params[name] = _mixed_init(ks[3 + i], cin, MIXED[name])
+        w = MIXED[name]
+        cin = w[0] + w[2] + w[4] + w[5]
+    fan_in = cin
+    params["Logits"] = {
+        "w": jax.random.normal(ks[-1], (1, 1, 1, cin, NUM_CLASSES))
+        * np.sqrt(1.0 / fan_in),
+        "b": jnp.zeros((NUM_CLASSES,)),
+    }
+    return params
+
+
+def embed(params, videos):
+    """videos (B, T, H, W, 3) float in [0, 1] -> (B, 400) logits.
+    I3D expects [-1, 1] inputs (frechet_video_distance.py preprocess)."""
+    x = jnp.asarray(videos, jnp.float32) * 2.0 - 1.0
+    x = _unit(params["Conv3d_1a_7x7"], x, stride=(2, 2, 2))
+    x = _maxpool(x, (1, 3, 3), (1, 2, 2))
+    x = _unit(params["Conv3d_2b_1x1"], x)
+    x = _unit(params["Conv3d_2c_3x3"], x)
+    x = _maxpool(x, (1, 3, 3), (1, 2, 2))
+    x = _mixed(params["Mixed_3b"], x)
+    x = _mixed(params["Mixed_3c"], x)
+    x = _maxpool(x, (3, 3, 3), (2, 2, 2))
+    for name in ("Mixed_4b", "Mixed_4c", "Mixed_4d", "Mixed_4e", "Mixed_4f"):
+        x = _mixed(params[name], x)
+    x = _maxpool(x, (2, 2, 2), (2, 2, 2))
+    x = _mixed(params["Mixed_5b"], x)
+    x = _mixed(params["Mixed_5c"], x)
+    # spatiotemporal average pool, then 1x1x1 logits conv
+    x = jnp.mean(x, axis=(2, 3), keepdims=True)  # spatial
+    lg = params["Logits"]
+    y = jax.lax.conv_general_dilated(
+        x, lg["w"].astype(x.dtype), (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    ) + lg["b"]
+    return jnp.mean(y, axis=(1, 2, 3))  # temporal average of frame logits
+
+
+def _flatten(params, prefix=""):
+    flat = {}
+    for k, v in params.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            flat.update(_flatten(v, key + "/"))
+        else:
+            flat[key] = np.asarray(v)
+    return flat
+
+
+def save_npz(params, path):
+    np.savez(path, **_flatten(params))
+
+
+def load_npz(path):
+    """Load converted I3D weights saved by save_npz / convert_tf_checkpoint."""
+    with np.load(path) as data:
+        flat = {k: data[k] for k in data.files}
+    params = init(jax.random.PRNGKey(0))
+    ref = _flatten(params)
+    if set(ref) != set(flat):
+        missing = sorted(set(ref) - set(flat))[:5]
+        extra = sorted(set(flat) - set(ref))[:5]
+        raise KeyError(f"I3D npz key mismatch; missing={missing} extra={extra}")
+
+    def rebuild(tree, prefix=""):
+        out = {}
+        for k, v in tree.items():
+            key = f"{prefix}{k}"
+            out[k] = (rebuild(v, key + "/") if isinstance(v, dict)
+                      else jnp.asarray(flat[key]))
+        return out
+
+    return rebuild(params)
+
+
+# TF-Hub variable-name mapping for offline conversion (run on any machine
+# with tensorflow + the i3d-kinetics-400 SavedModel, then ship the npz):
+#   RGB/inception_i3d/<Block>/<...>/conv_3d/w           -> <path>/w
+#   RGB/inception_i3d/<Block>/<...>/batch_norm/beta     -> <path>/beta
+#   RGB/inception_i3d/<Block>/<...>/batch_norm/moving_mean -> /moving_mean
+#   RGB/inception_i3d/<Block>/<...>/batch_norm/moving_variance -> /moving_var
+#   branch dirs: Branch_0/Conv3d_0a_1x1 -> b0; Branch_1/Conv3d_0a_1x1 -> b1a,
+#   Branch_1/Conv3d_0b_3x3 -> b1b; Branch_2 -> b2a/b2b; Branch_3/Conv3d_0b_1x1
+#   -> b3; Logits/Conv3d_0c_1x1/conv_3d/{w,b} -> Logits/{w,b}.
+def convert_tf_checkpoint(tf_vars: dict):
+    """dict of TF variable name -> np.ndarray, returns this module's
+    params. Pure renaming per the table above."""
+    out = {}
+    bn = {"beta": "beta", "moving_mean": "moving_mean",
+          "moving_variance": "moving_var"}
+    branch = {
+        ("Branch_0", "Conv3d_0a_1x1"): "b0",
+        ("Branch_1", "Conv3d_0a_1x1"): "b1a",
+        ("Branch_1", "Conv3d_0b_3x3"): "b1b",
+        ("Branch_2", "Conv3d_0a_1x1"): "b2a",
+        ("Branch_2", "Conv3d_0b_3x3"): "b2b",
+        ("Branch_3", "Conv3d_0b_1x1"): "b3",
+    }
+    for name, arr in tf_vars.items():
+        parts = name.split("/")
+        if "inception_i3d" in parts:
+            parts = parts[parts.index("inception_i3d") + 1:]
+        if parts[0] == "Logits":
+            leaf = "w" if parts[-1] == "w" else "b"
+            out[f"Logits/{leaf}"] = arr
+            continue
+        block = parts[0]
+        if block.startswith("Mixed"):
+            unit = branch[(parts[1], parts[2])]
+            rest = parts[3:]
+            base = f"{block}/{unit}"
+        else:
+            rest = parts[1:]
+            base = block
+        if rest[0] == "conv_3d":
+            out[f"{base}/w"] = arr
+        elif rest[0] == "batch_norm":
+            out[f"{base}/{bn[rest[1]]}"] = arr
+    flat = out
+
+    params = init(jax.random.PRNGKey(0))
+    ref = _flatten(params)
+    for k in ref:
+        if k not in flat:
+            raise KeyError(f"TF checkpoint missing {k}")
+
+    def rebuild(tree, prefix=""):
+        res = {}
+        for k, v in tree.items():
+            key = f"{prefix}{k}"
+            res[k] = (rebuild(v, key + "/") if isinstance(v, dict)
+                      else jnp.asarray(np.reshape(flat[key], np.shape(v))))
+        return res
+
+    return rebuild(params)

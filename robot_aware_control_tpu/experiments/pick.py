@@ -61,14 +61,14 @@ def plan_cfg(cfg: Config, tcfg: Config, demo_dir: str) -> Config:
         jobname="pick_eval", env="LocobotPick",
         use_env_dynamics=False, demo_dir=demo_dir,
         demo_cost=True, demo_timescale=1,
-        horizon=max(cfg.horizon, 8), replan_every=1,
-        opt_iter=cfg.opt_iter, action_candidates=max(cfg.action_candidates, 200),
-        topk=max(cfg.topk, 10),
+        horizon=cfg.horizon, replan_every=1,
+        opt_iter=cfg.opt_iter, action_candidates=cfg.action_candidates,
+        topk=cfg.topk,
         reward_type="dontcare",
         robot_cost_weight=(cfg.robot_cost_weight or 1.0),
         world_cost_weight=cfg.world_cost_weight,
         sequential_subgoal=True,
-        max_episode_length=max(cfg.max_episode_length, 30),
+        max_episode_length=cfg.max_episode_length,
         record_video_interval=1,
         num_episodes=3,
     )

@@ -34,6 +34,81 @@ def test_fvd_discriminates(rng):
     assert d_same < d_diff
 
 
+def test_i3d_architecture_shapes(rng):
+    """I3D forward produces 400-d logits and the canonical stage widths
+    (reference FVD network: frechet_video_distance.py:37-56)."""
+    import jax
+
+    from robot_aware_control_tpu.evaluation import i3d
+
+    params = i3d.init(jax.random.PRNGKey(0))
+    # canonical mixed-block output widths
+    for name, w in i3d.MIXED.items():
+        cout = w[0] + w[2] + w[4] + w[5]
+        assert params[name]["b0"]["w"].shape[-1] == w[0], name
+        del cout
+    assert params["Mixed_5c"]["b0"]["w"].shape[-1] == 384
+    vids = rng.rand(2, 9, 32, 32, 3).astype("float32")
+    out = i3d.embed(params, vids)
+    assert out.shape == (2, 400)
+    assert bool(jax.numpy.isfinite(out).all())
+
+
+def test_i3d_npz_roundtrip(tmp_path, rng):
+    import jax
+    import numpy as np
+
+    from robot_aware_control_tpu.evaluation import i3d
+
+    params = i3d.init(jax.random.PRNGKey(3))
+    path = str(tmp_path / "i3d.npz")
+    i3d.save_npz(params, path)
+    restored = i3d.load_npz(path)
+    vids = rng.rand(1, 8, 32, 32, 3).astype("float32")
+    np.testing.assert_allclose(
+        np.asarray(i3d.embed(params, vids)),
+        np.asarray(i3d.embed(restored, vids)), rtol=1e-6, atol=1e-6,
+    )
+
+
+def test_i3d_tf_converter_mapping():
+    """convert_tf_checkpoint maps the TF-Hub variable names onto every
+    parameter of this implementation."""
+    import numpy as np
+
+    from robot_aware_control_tpu.evaluation import i3d
+
+    params = i3d.init()
+    flat = i3d._flatten(params)
+    inv_branch = {"b0": ("Branch_0", "Conv3d_0a_1x1"),
+                  "b1a": ("Branch_1", "Conv3d_0a_1x1"),
+                  "b1b": ("Branch_1", "Conv3d_0b_3x3"),
+                  "b2a": ("Branch_2", "Conv3d_0a_1x1"),
+                  "b2b": ("Branch_2", "Conv3d_0b_3x3"),
+                  "b3": ("Branch_3", "Conv3d_0b_1x1")}
+    leaf_tf = {"w": ("conv_3d", "w"), "beta": ("batch_norm", "beta"),
+               "moving_mean": ("batch_norm", "moving_mean"),
+               "moving_var": ("batch_norm", "moving_variance")}
+    tf_vars = {}
+    for key, arr in flat.items():
+        parts = key.split("/")
+        if parts[0] == "Logits":
+            tf_vars[f"RGB/inception_i3d/Logits/Conv3d_0c_1x1/conv_3d/{parts[1]}"] = np.asarray(arr)
+        elif parts[0].startswith("Mixed"):
+            br = inv_branch[parts[1]]
+            sub = leaf_tf[parts[2]]
+            tf_vars[
+                f"RGB/inception_i3d/{parts[0]}/{br[0]}/{br[1]}/{sub[0]}/{sub[1]}"
+            ] = np.asarray(arr)
+        else:
+            sub = leaf_tf[parts[1]]
+            tf_vars[f"RGB/inception_i3d/{parts[0]}/{sub[0]}/{sub[1]}"] = np.asarray(arr)
+    out = i3d.convert_tf_checkpoint(tf_vars)
+    ref = i3d._flatten(out)
+    for k in flat:
+        np.testing.assert_array_equal(ref[k], flat[k])
+
+
 def test_copy_world_error_and_metadata(tmp_path, rng):
     class DS:
         def __init__(self):
