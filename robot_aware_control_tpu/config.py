@@ -86,6 +86,9 @@ class Config:
     n_eval: int = 10
     checkpoint_interval: int = 5
     eval_interval: int = 5
+    # eval batches per epoch metric pass; 0 = the full eval set (the
+    # reference evaluates the whole set, trainer.py:467-489)
+    eval_batches: int = 0
     rnn_size: int = 256
     prior_rnn_layers: int = 2
     posterior_rnn_layers: int = 2

@@ -26,7 +26,7 @@ def evaluate_checkpoint(cfg: Config, ckpt_path: str, loader=None):
         _, loader = trainer._setup_data()
         if trainer.transfer_loader is not None:
             loader = trainer.transfer_loader
-    metrics, _ = trainer._eval_epoch(iter(loader), num_batches=4)
+    metrics, _ = trainer._eval_epoch(iter(loader))  # full set (reference: trainer.py:467-489)
     # world-PSNR derived from the world MSE (reference :24-29)
     wl = metrics.get("autoreg_world_loss")
     if wl and wl > 0:

@@ -57,6 +57,7 @@ def _needs_robot_model(cfg: Config) -> bool:
     return (
         cfg.model_use_robot_state
         or cfg.model_use_mask
+        or cfg.model_use_heatmap
         or cfg.black_robot_input
         or "dontcare" in cfg.reward_type
     )
@@ -165,6 +166,13 @@ class RolloutEngine:
                 (T + 1, N, cfg.image_height, cfg.image_width, 1), jnp.float32
             )
         use_robot_cost = cfg.robot_cost_weight != 0 and goal_states is not None
+        # heatmap conditioning from PREDICTED states (beyond the reference,
+        # which plans with heatmap=None — trajectory_sampler.py:135)
+        heatmaps = None
+        if cfg.model_use_heatmap:
+            heatmaps = self.renderer_thick.render_heatmaps(
+                states_raw[..., :3]
+            )  # (T+1, N, h, w, 1)
 
         # rollout images ride in the compute dtype; costs cast to f32
         curr_img = jnp.broadcast_to(
@@ -196,6 +204,9 @@ class RolloutEngine:
                 else jnp.zeros((T, 5), jnp.float32)
             ),
         }
+        if heatmaps is not None:
+            xs["hm_t"] = heatmaps[:-1]
+            xs["hm_t1"] = heatmaps[1:]
 
         blackout = cfg.dontcare  # dontcare recon loss or black_robot_input
 
@@ -205,14 +216,14 @@ class RolloutEngine:
             model_in = (
                 L.zero_robot_region(inp["m_t"], curr) if blackout else curr
             )
-            m_in, r_in, _ = _conditioning(
+            m_in, r_in, hm_in = _conditioning(
                 cfg, inp["m_t"], inp["m_t1"], inp["s_t"], inp["s_t1"],
-                None, None, False,
+                inp.get("hm_t"), inp.get("hm_t1"), False,
             )
             out, model_carry, _ = _model_step(
                 cfg, params, bn, carry["model"], None,
                 use_curr_skip=None, x_j=model_in, m_in=m_in, r_in=r_in,
-                hm_in=None, a_j=inp["a"], rng=rng_model, next_inputs=None,
+                hm_in=hm_in, a_j=inp["a"], rng=rng_model, next_inputs=None,
                 train=False, sample_mean=cfg.sample_mean,
             )
             # Deviation from the reference sampler (trajectory_sampler.py:

@@ -24,6 +24,7 @@ import numpy as np
 from robot_aware_control_tpu.config import Config
 from robot_aware_control_tpu.data.norm import (
     LOCO_FRANKA_DIFF,
+    LOCO_WX250S_DIFF,
     LOCOBOT_HIGH,
     LOCOBOT_LOW,
     denormalize,
@@ -107,14 +108,61 @@ class FrankaAnalyticalModel(LocobotAnalyticalModel):
 
 class WX250sAnalyticalModel(LocobotAnalyticalModel):
     """WX250s planar-push model (reference: src/dataset/wx250s/
-    wx250s_model.py:11-120); frame shift provided by calibration."""
+    wx250s_model.py:11-120); measured frame shift
+    (reference: src/utils/camera_calibration.py LOCO_WX250S_DIFF)."""
 
-    FRAME_SHIFT = np.array([-0.3, 0.0], np.float32)
+    FRAME_SHIFT = LOCO_WX250S_DIFF
 
     def to_locobot_frame(self, state):
         state = np.asarray(state, np.float32).copy()
         state[..., :2] += self.FRAME_SHIFT
         return state
+
+
+class ChainAnalyticalModel:
+    """Native-frame analytical model for any chain robot (sawyer, baxter,
+    widowx, franka, kuka, fetch, wx250s): planar eef integration in the
+    robot's OWN frame, batched damped-least-squares chain IK
+    (kinematic_chain.KinematicChain.ik), capsule masks from the chain's
+    own geometry. Completes the capability the reference implements with
+    per-robot PyBullet IK controllers + MuJoCo mask envs
+    (reference: src/env/robotics/controllers/*.py,
+    src/env/robotics/masks/*_mask_env.py)."""
+
+    def __init__(self, cfg: Config, robot: str,
+                 camera_key: str = None, push_height: float = 0.15):
+        from robot_aware_control_tpu.robot.kinematic_chain import (
+            CHAINS,
+            get_mask_env,
+        )
+
+        self.cfg = cfg
+        self.chain = CHAINS[robot]
+        self.env = get_mask_env(
+            robot, **({"camera_key": camera_key} if camera_key else {})
+        )
+        self.push_height = push_height
+
+    def predict_trajectory(self, start_eef, start_qpos, actions):
+        """start_eef (3,) raw, start_qpos (dof,), actions (T, N, >=2)
+        planar metric displacements -> (states (T+1, N, 3),
+        qpos (T+1, N, dof), masks (T+1, N, h, w, 1))."""
+        T, N = actions.shape[0], actions.shape[1]
+        eef0 = jnp.broadcast_to(jnp.asarray(start_eef, jnp.float32), (N, 3))
+        deltas = jnp.concatenate(
+            [jnp.asarray(actions[..., :2], jnp.float32),
+             jnp.zeros((T, N, 1), jnp.float32)], -1,
+        )
+        eefs = eef0[None] + jnp.cumsum(deltas, axis=0)
+        eefs = eefs.at[..., 2].set(self.push_height)
+        eefs = jnp.concatenate([eef0[None], eefs], 0)  # (T+1, N, 3)
+        q0 = jnp.broadcast_to(
+            jnp.asarray(start_qpos, jnp.float32)[: self.chain.dof],
+            (T + 1, N, self.chain.dof),
+        )
+        qpos, _ = self.chain.ik(eefs, q0)
+        masks = self.env.generate_masks(qpos)
+        return eefs, qpos, masks
 
 
 def get_robot_model(cfg: Config, **kw):

@@ -78,6 +78,86 @@ class KinematicChain:
         pts.append(tip)
         return jnp.stack(pts, -2)
 
+    def fk_full(self, qpos):
+        """Like fk_points but also returns world joint axes:
+        (pts (..., dof+2, 3), axes_world (..., dof, 3))."""
+        q = qpos[..., : self.dof]
+        batch = q.shape[:-1]
+        pos = jnp.broadcast_to(jnp.asarray(self.base, jnp.float32),
+                               batch + (3,))
+        R = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), batch + (3, 3))
+        pts = [pos]
+        axes_w = []
+        for i in range(self.dof):
+            off = jnp.asarray(self.offsets[i], jnp.float32)
+            pos = pos + jnp.einsum("...ij,j->...i", R, off)
+            ax = jnp.asarray(self.axes[i], jnp.float32)
+            axes_w.append(jnp.einsum("...ij,j->...i", R, ax))
+            R = jnp.einsum("...ij,...jk->...ik", R, _rot(self.axes[i], q[..., i]))
+            pts.append(pos)
+        tip = pos + jnp.einsum("...ij,j->...i", R,
+                               jnp.asarray(self.tip, jnp.float32))
+        pts.append(tip)
+        return jnp.stack(pts, -2), jnp.stack(axes_w, -2)
+
+    def ik(self, target, q0=None, iters: int = 60, damping: float = 5e-2,
+           joint_limit: float = 2.9, tol: float = 5e-3):
+        """Batched damped-least-squares position IK.
+
+        The reference solves non-locobot IK with per-robot PyBullet
+        controllers host-side, one query at a time (reference:
+        src/env/robotics/controllers/*.py, 1,644 LoC). Here one traceable
+        Gauss-Newton/DLS loop serves every chain: the position Jacobian
+        column for revolute joint i is axis_w_i x (tip - p_i), and the
+        damped normal equations are a batched 3x3 solve — vmappable over
+        thousands of targets on device.
+
+        target (..., 3) world positions; q0 (..., dof) initial config.
+        Multi-start (3 seeds + optional q0) picks the best converged
+        solution per target. Returns (qpos (..., dof), valid (...,))."""
+        target = jnp.asarray(target, jnp.float32)
+        batch = target.shape[:-1]
+        seeds = [jnp.full((self.dof,), s, jnp.float32)
+                 for s in (0.1, 0.6, -0.6)]
+        starts = [jnp.broadcast_to(s, batch + (self.dof,)) for s in seeds]
+        if q0 is not None:
+            starts.insert(0, jnp.broadcast_to(
+                jnp.asarray(q0, jnp.float32)[..., : self.dof],
+                batch + (self.dof,),
+            ))
+
+        eye3 = jnp.eye(3, dtype=jnp.float32)
+
+        def solve(q):
+            def body(q, _):
+                pts, axes_w = self.fk_full(q)
+                tip = pts[..., -1, :]
+                err = target - tip  # (..., 3)
+                arm = tip[..., None, :] - pts[..., 1:-1, :]  # (..., dof, 3)
+                Jcols = jnp.cross(axes_w, arm)  # (..., dof, 3)
+                J = jnp.swapaxes(Jcols, -1, -2)  # (..., 3, dof)
+                A = J @ jnp.swapaxes(J, -1, -2) + (damping ** 2) * eye3
+                dq = jnp.einsum(
+                    "...dk,...k->...d", Jcols,
+                    jnp.linalg.solve(A, err[..., None])[..., 0],
+                )
+                q = jnp.clip(q + dq, -joint_limit, joint_limit)
+                return q, None
+
+            q, _ = jax.lax.scan(body, q, None, length=iters)
+            tip = self.fk_points(q)[..., -1, :]
+            return q, jnp.linalg.norm(target - tip, axis=-1)
+
+        qs, errs = zip(*[solve(s) for s in starts])
+        qs = jnp.stack(qs)           # (S, ..., dof)
+        errs = jnp.stack(errs)       # (S, ...)
+        best = jnp.argmin(errs, axis=0)
+        q = jnp.take_along_axis(
+            qs, best[None, ..., None], axis=0
+        )[0]
+        err = jnp.take_along_axis(errs, best[None], axis=0)[0]
+        return q, err < tol
+
 
 def _chain(name, base, segs, tip, axes):
     """segs: list of (offset xyz, radius)."""

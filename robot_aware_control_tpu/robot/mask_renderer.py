@@ -183,6 +183,30 @@ class CapsuleMaskRenderer:
         return mask[..., None].astype(jnp.float32)
 
 
+    def render_heatmaps(self, eef, sx=5.0, sy=5.0, height=100.0):
+        """Traceable eef gaussian heatmaps: eef (..., 3) raw world
+        positions -> (..., h, w, 1) float32.
+
+        Same gaussian/projection math as the host data layer
+        (data/heatmaps.py, reference: robonet_dataset.py:482-544) but pure
+        jnp, so the planner can condition heatmap-trained models on
+        PREDICTED states inside the rollout graph — the reference planner
+        always passes heatmap=None (src/cem/trajectory_sampler.py:135)."""
+        u, v, _ = self._project(eef)  # (...,)
+        # data-layer grid is integer-indexed (np.arange); ours is +0.5
+        px = self._px - 0.5
+        py = self._py - 0.5
+        ue = u[..., None, None]
+        ve = v[..., None, None]
+        g = height / (2.0 * jnp.pi * sx * sy) * jnp.exp(
+            -((px - ue) ** 2 / (2 * sx ** 2) + (py - ve) ** 2 / (2 * sy ** 2))
+        )
+        g = jnp.clip(g, 0.0, 1.0)
+        in_frame = ((u >= 0) & (u < self.w) & (v >= 0) & (v < self.h))
+        g = g * in_frame[..., None, None]
+        return g[..., None].astype(jnp.float32)
+
+
 def render_trajectory_masks(renderer: CapsuleMaskRenderer, qpos):
     """qpos (T, N, >=4) -> (T, N, h, w, 1)."""
     return renderer.render(qpos)

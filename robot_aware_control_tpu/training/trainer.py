@@ -298,7 +298,12 @@ class PredictionTrainer:
         synced.sort(key=lambda d: d.get("psnr", 0.0), reverse=True)
         return synced[0]
 
-    def _eval_epoch(self, test_iter, num_batches: int = 2, prefix: str = "eval/"):
+    def _eval_epoch(self, test_iter, num_batches: int = 0,
+                    prefix: str = "eval/"):
+        """Epoch metrics over the eval iterator. `num_batches` caps the
+        batches (0 = cfg.eval_batches; cfg 0 = the FULL set, matching the
+        reference's whole-set eval, trainer.py:467-489)."""
+        cap = num_batches or self.cfg.eval_batches
         agg = defaultdict(float)
         n = 0
         for batch in test_iter:
@@ -307,7 +312,7 @@ class PredictionTrainer:
                 for k, v in m.items():
                     agg[f"{tag}{k}"] += v
             n += 1
-            if n >= num_batches:
+            if cap and n >= cap:
                 break
         return {k: v / max(n, 1) for k, v in agg.items()}, n
 

@@ -213,6 +213,40 @@ def test_integrate_pick_actions_clips_and_descends():
     assert qpos.shape == (6, 5)
 
 
+def test_heatmap_conditioned_planning(rng):
+    """Heatmap-trained models plan with heatmaps rendered from PREDICTED
+    states inside the rollout graph (beyond the reference, which plans
+    with heatmap=None — trajectory_sampler.py:135)."""
+    cfg = PLAN_CFG.replace(model_use_heatmap=True, g_dim=16)
+    params, bn = get_model(cfg).init(jax.random.PRNGKey(0), cfg)
+    sampler = TrajectorySampler(cfg, params, bn)
+    start, goal = _start_goal(cfg, rng)
+    acts = rng.uniform(-0.05, 0.05, (4, 2, 5)).astype(np.float32)
+    out = sampler.generate_model_rollouts(acts, start, goal)
+    assert out["sum_cost"].shape == (4,)
+    assert np.isfinite(out["sum_cost"]).all()
+
+
+def test_render_heatmaps_peak_location():
+    """Traceable heatmaps peak where the data layer puts them."""
+    from robot_aware_control_tpu.robot.mask_renderer import CapsuleMaskRenderer
+
+    r = CapsuleMaskRenderer((48, 64))
+    eef = jnp.asarray([[0.3, 0.0, 0.15]], jnp.float32)
+    hm = np.asarray(r.render_heatmaps(eef))[0, :, :, 0]
+    assert hm.max() > 0.2
+    my, mx = np.unravel_index(hm.argmax(), hm.shape)
+    # compare against the host-side projection math
+    from robot_aware_control_tpu.data import calibration as calib
+    from robot_aware_control_tpu.data.heatmaps import project_eef
+
+    w2c = calib.get_world_to_camera("locobot_c0")
+    K = calib.CAM_INTRINSICS["intel_realsense_d435"]
+    pix = project_eef(np.array([[0.3, 0.0, 0.15]]), w2c, K,
+                      (64, 48), calib.CAM_RESOLUTION["intel_realsense_d435"])
+    assert abs(mx - pix[0][0]) <= 1.0 and abs(my - pix[0][1]) <= 1.0
+
+
 def test_opt_traj_cost_reported(svg_model, rng):
     cfg, params, bn = svg_model
     sampler = TrajectorySampler(cfg, params, bn)
