@@ -74,15 +74,47 @@ def plan_cfg(cfg: Config, tcfg: Config, demo_dir: str) -> Config:
     )
 
 
+def _collect_on_cpu(argv, n_episodes, data_root, demo_dir, seed):
+    """Scripted collection is a host-env loop; through the tunneled TPU
+    every env step pays ~0.1-0.2 s of device round-trips, so collection
+    runs in a forced-CPU subprocess (the jax platform is process-global)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        "import sys\n"
+        "from robot_aware_control_tpu.config import argparser\n"
+        "from robot_aware_control_tpu.data.collect import collect_training_data\n"
+        "from robot_aware_control_tpu.data import demo_io\n"
+        "from robot_aware_control_tpu.envs.locobot_pick import LocobotPickEnv\n"
+        f"cfg, _ = argparser({argv!r})\n"
+        f"collect_training_data('LocobotPick', {n_episodes}, {data_root!r}, cfg, seed={seed})\n"
+        f"env = LocobotPickEnv(cfg, seed={seed} + 123)\n"
+        f"demo_io.collect_demos(env, 'pick_place', 3, {demo_dir!r})\n"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True)
+
+
 def main(argv=None):
     cfg, _ = argparser(argv)
     os.makedirs(cfg.log_dir, exist_ok=True)
 
     data_root = os.path.join(cfg.log_dir, "data_pick")
+    demo_dir = os.path.join(cfg.log_dir, "demos_eval")
     files = glob.glob(os.path.join(data_root, "**", "*.hdf5"), recursive=True)
     if not files:
-        collect_training_data("LocobotPick", cfg.num_episodes, data_root,
-                              cfg, seed=cfg.seed)
+        import jax as _j
+
+        if _j.default_backend() != "cpu":
+            import sys as _sys
+
+            flags = list(argv) if argv is not None else _sys.argv[1:]
+            _collect_on_cpu(flags, cfg.num_episodes,
+                            data_root, demo_dir, cfg.seed)
+        else:
+            collect_training_data("LocobotPick", cfg.num_episodes, data_root,
+                                  cfg, seed=cfg.seed)
         files = glob.glob(os.path.join(data_root, "**", "*.hdf5"),
                           recursive=True)
 
@@ -100,7 +132,6 @@ def main(argv=None):
     ckpt_path = ckpt.latest_checkpoint(trainer.log_dir)
     print(f"[pick] trained; ckpt={ckpt_path}", flush=True)
 
-    demo_dir = os.path.join(cfg.log_dir, "demos_eval")
     if not demo_io.list_demos(demo_dir):
         env = LocobotPickEnv(cfg, seed=cfg.seed + 123)
         demo_io.collect_demos(env, "pick_place", 3, demo_dir)
