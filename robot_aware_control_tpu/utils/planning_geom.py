@@ -76,6 +76,66 @@ class RRT:
         return None
 
 
+class CollisionObject:
+    """Parametric collision object (reference: collision.py:6-19)."""
+
+    def in_collision(self, target) -> bool:  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+class CollisionBox(CollisionObject):
+    """N-d axis-aligned box; boundary counts as collision
+    (reference: collision.py:22-43)."""
+
+    def __init__(self, location, half_lengths):
+        self.location = np.asarray(location, np.float64)
+        self.half_lengths = np.asarray(half_lengths, np.float64)
+        self.ndim = self.location.shape[0]
+
+    def in_collision(self, target) -> bool:
+        t = np.asarray(target, np.float64)
+        return bool(np.all(np.abs(t - self.location) <= self.half_lengths))
+
+
+class CollisionSphere(CollisionObject):
+    """N-d sphere (reference: collision.py:46-71)."""
+
+    def __init__(self, location, radius):
+        self.location = np.asarray(location, np.float64)
+        self.radius = float(radius)
+
+    def in_collision(self, target) -> bool:
+        return bool(
+            np.linalg.norm(np.asarray(target) - self.location) <= self.radius
+        )
+
+    def line_in_collision(self, o, u) -> bool:
+        """Infinite-line/sphere discriminant test
+        (reference: collision.py:61-71)."""
+        o = np.asarray(o, np.float64)
+        u = np.asarray(u, np.float64)
+        c, r = self.location, self.radius
+        delta = (u @ (o - c)) ** 2 - (np.linalg.norm(o - c) ** 2 - r ** 2)
+        return bool(delta >= 0)
+
+
+def rrt_with_objects(start, goal, low, high, objects=(), step_size=0.03,
+                     samples_per_edge: int = 5, **kw):
+    """RRT over CollisionObject obstacles: edges are rejected when any
+    sampled point along them lies inside an object (the reference's
+    node-level in_collision applied along edges)."""
+
+    def collide(a, b):
+        for s in np.linspace(0.0, 1.0, samples_per_edge):
+            p = (1 - s) * np.asarray(a) + s * np.asarray(b)
+            if any(ob.in_collision(p) for ob in objects):
+                return True
+        return False
+
+    return RRT(low, high, collision_fn=collide, step_size=step_size,
+               **kw).plan(start, goal)
+
+
 def planar_rrt(start_xy, goal_xy, low, high, obstacles=(),
                obstacle_radius: float = 0.06, **kw):
     """2-D RRT avoiding circular obstacles (reference: planar_rrt.py)."""

@@ -65,6 +65,34 @@ def test_planar_rrt_avoids_obstacle():
         )
 
 
+def test_collision_objects_and_rrt():
+    """CollisionBox/CollisionSphere semantics + object-aware RRT
+    (reference: collision.py:22-71, rrt.py)."""
+    from robot_aware_control_tpu.utils.planning_geom import (
+        CollisionBox,
+        CollisionSphere,
+        rrt_with_objects,
+    )
+
+    box = CollisionBox([0.0, 0.0], [0.1, 0.2])
+    assert box.in_collision([0.1, 0.2])  # boundary collides
+    assert not box.in_collision([0.11, 0.0])
+    sph = CollisionSphere([1.0, 0.0], 0.5)
+    assert sph.in_collision([1.4, 0.0])
+    assert not sph.in_collision([1.6, 0.0])
+    assert sph.line_in_collision(np.array([0.0, 0.0]), np.array([1.0, 0.0]))
+    assert not sph.line_in_collision(np.array([0.0, 2.0]), np.array([1.0, 0.0]))
+
+    path = rrt_with_objects(
+        [0.0, 0.0], [1.0, 0.0], low=[-0.2, -0.6], high=[1.2, 0.6],
+        objects=[CollisionSphere([0.5, 0.0], 0.15)],
+        step_size=0.08, max_iters=4000, seed=3,
+    )
+    assert path is not None
+    for p in path:
+        assert np.linalg.norm(np.asarray(p) - [0.5, 0.0]) > 0.14
+
+
 def test_expand_grid():
     base = Config(jobname="s")
     cfgs = expand_grid(base, {"lr": [1e-3, 1e-4], "g_dim": [8, 16]})
