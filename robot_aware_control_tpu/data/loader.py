@@ -131,17 +131,32 @@ def device_prefetch(it: Iterator[Dict], sharding=None, size: int = 2):
         meta = {k: v for k, v in batch.items() if not isinstance(v, np.ndarray)}
         return {**arrays, **meta}
 
+    stop = threading.Event()
+
     def feeder():
         for batch in it:
-            buf.put(put(batch))
+            item = put(batch)
+            while not stop.is_set():
+                try:
+                    buf.put(item, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+            if stop.is_set():
+                return
         buf.put(sentinel)
 
     threading.Thread(target=feeder, daemon=True).start()
-    while True:
-        item = buf.get()
-        if item is sentinel:
-            return
-        yield item
+    try:
+        while True:
+            item = buf.get()
+            if item is sentinel:
+                return
+            yield item
+    finally:
+        # release the feeder when the consumer abandons the generator
+        # (e.g. trainer finished its fixed epoch count over infinite())
+        stop.set()
 
 
 # ---------------------------------------------------------------------------

@@ -74,3 +74,81 @@ def ssim(img1, img2, window_size=11):
     return ((2 * mu12 + C1) * (2 * s12 + C2)) / (
         (mu1_sq + mu2_sq + C1) * (s1 + s2 + C2)
     )
+
+
+# ---------------------------------------------------------------------------
+# SAVP/robonet metric family (reference: robonet/robonet/video_prediction/
+# metrics.py). Pure math — runnable inside jitted eval steps.
+
+
+def normalize_tensor(tensor, eps=1e-10):
+    """L2-normalize over the last axis (reference: metrics.py:253-256)."""
+    t = tensor.astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(t * t, axis=-1, keepdims=True))
+    return t / (norm + eps)
+
+
+def cosine_similarity(t0, t1):
+    """Dot product of L2-normalized tensors over the last axis
+    (reference: metrics.py:258-263)."""
+    return jnp.sum(normalize_tensor(t0) * normalize_tensor(t1), axis=-1)
+
+
+def cosine_distance(t0, t1):
+    """(reference: metrics.py:265-272)"""
+    return jnp.mean(1.0 - cosine_similarity(t0, t1))
+
+
+def expected_pixel_distance(real_dist, pred_dist):
+    """E_pred[ || p - argmax(real) || ] over pixel distributions
+    (B, T, H, W, K) — the DNA-family designation metric
+    (reference: metrics.py:13-22)."""
+    r = real_dist.astype(jnp.float32)
+    p = pred_dist.astype(jnp.float32)
+    h, w = r.shape[-3], r.shape[-2]
+    obj_w = jnp.max(jnp.argmax(r, axis=-2), axis=-2).astype(jnp.float32)
+    obj_h = jnp.max(jnp.argmax(r, axis=-3), axis=-2).astype(jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32).reshape(1, 1, -1, 1, 1)
+    xs = jnp.arange(w, dtype=jnp.float32).reshape(1, 1, 1, -1, 1)
+    dist = jnp.sqrt(
+        (ys - obj_h[..., None, None, :]) ** 2
+        + (xs - obj_w[..., None, None, :]) ** 2
+    )
+    return jnp.sum(dist * p, axis=(-3, -2))
+
+
+def expected_square_pixel_distance(real_dist, pred_dist):
+    """E[(p - p_true)^T (p - p_true)] between pixel distributions
+    (reference: metrics.py:25-47)."""
+    def moments(t):
+        """t (..., H, W) normalized pixel distribution -> (E[p], E[p^2])."""
+        t = jnp.asarray(t, jnp.float32)
+        h, w = t.shape[-2], t.shape[-1]
+        ys = jnp.arange(h, dtype=jnp.float32)
+        xs = jnp.arange(w, dtype=jnp.float32)
+        row = jnp.sum(t, axis=-1)  # (..., H)
+        col = jnp.sum(t, axis=-2)  # (..., W)
+        mh = jnp.sum(ys * row, axis=-1)
+        mw = jnp.sum(xs * col, axis=-1)
+        sh = jnp.sum((ys ** 2) * row, axis=-1)
+        sw = jnp.sum((xs ** 2) * col, axis=-1)
+        return jnp.stack([mh, mw], -1), sh + sw
+
+    mp, sq_p = moments(pred_dist)
+    mr, sq_r = moments(real_dist)
+    return sq_p - 2.0 * jnp.sum(mp * mr, -1) + sq_r
+
+
+def perceptual_cosine_distance(image0, image1, features_fn):
+    """VGG-style perceptual distance with a pluggable feature extractor
+    (reference: metrics.py:275-293 uses pretrained VGG19 — weights are an
+    offline blocker here, so callers supply `features_fn(images) ->
+    [(B, ..., C) feature tensors]`; any conv stack works)."""
+    total = 0.0
+    f0s, f1s = features_fn(image0), features_fn(image1)
+    for f0, f1 in zip(f0s, f1s):
+        total = total + cosine_distance(
+            f0.reshape(f0.shape[0], -1, f0.shape[-1]),
+            f1.reshape(f1.shape[0], -1, f1.shape[-1]),
+        )
+    return total / len(f0s)

@@ -59,6 +59,8 @@ def make_global_batch(mesh: Mesh, local_batch: dict, batch_axis_index: int = 1,
     batch sharded over the mesh."""
 
     def put(x):
+        if isinstance(x, jax.Array):
+            return x  # already assembled/sharded (e.g. by device_prefetch)
         x = np.asarray(x)
         if x.ndim > batch_axis_index:
             sharding = batch_sharding(mesh, batch_axis_index, x.ndim, axis)

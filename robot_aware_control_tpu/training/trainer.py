@@ -413,6 +413,23 @@ class PredictionTrainer:
             train_loader.infinite() if hasattr(train_loader, "infinite")
             else iter(train_loader)
         )
+        # overlap host decode + device upload with compute (double
+        # buffering); the finetune robot-model path keeps host batches
+        # since it renders masks host-side per window
+        if self.robot_model is None and self.learned_robot is None:
+            from robot_aware_control_tpu.data.loader import device_prefetch
+
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                def _shard(v):
+                    if v.ndim > 1:
+                        return pmesh.batch_sharding(self.mesh, 1, v.ndim)
+                    return NamedSharding(self.mesh, P())
+
+                train_iter = device_prefetch(train_iter, sharding=_shard)
+            else:
+                train_iter = device_prefetch(train_iter)
         import time as _time
 
         window = cfg.n_past + cfg.n_future

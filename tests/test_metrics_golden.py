@@ -58,3 +58,31 @@ def test_psnr_reference_quirk(rng):
 def test_psnr_identical_is_inf():
     a = np.full((1, 8, 8, 3), 0.5, np.float32)
     assert np.isinf(np.asarray(psnr(a, a.copy()))).all()
+
+
+def test_cosine_distance_properties(rng):
+    """SAVP-family metrics (reference: robonet video_prediction/metrics.py)."""
+    import jax.numpy as jnp
+
+    from robot_aware_control_tpu.ops.metrics import (
+        cosine_distance,
+        expected_pixel_distance,
+        expected_square_pixel_distance,
+    )
+
+    a = jnp.asarray(rng.randn(4, 16).astype("float32"))
+    assert float(cosine_distance(a, a)) < 1e-6
+    assert float(cosine_distance(a, -a)) > 1.9
+
+    # delta pixel distributions: distance equals euclidean pixel offset
+    import numpy as np
+
+    real = np.zeros((1, 1, 8, 8, 1), np.float32)
+    pred = np.zeros((1, 1, 8, 8, 1), np.float32)
+    real[0, 0, 2, 2, 0] = 1.0
+    pred[0, 0, 5, 6, 0] = 1.0
+    d = float(np.asarray(expected_pixel_distance(real, pred))[0, 0, 0])
+    assert abs(d - np.hypot(3, 4)) < 1e-5
+    sq = float(np.asarray(expected_square_pixel_distance(
+        real[..., 0], pred[..., 0]))[0, 0])
+    assert abs(sq - 25.0) < 1e-4

@@ -78,3 +78,20 @@ def test_make_global_batch_single_process():
     out = make_global_batch(mesh, batch, batch_axis_index=1)
     assert out["images"].shape == (3, 8, 4, 4, 3)
     assert len(out["images"].sharding.device_set) == 8
+
+
+def test_two_process_multihost_smoke():
+    """Real 2-process jax.distributed path: host shards, global-batch
+    assembly, cross-process reduction, orbax sharded ckpt round-trip
+    (benchmarks/multihost_smoke.py; subprocesses so the in-proc backend
+    stays untouched)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "benchmarks/multihost_smoke.py", "--port", "8627"],
+        capture_output=True, timeout=400, cwd="/root/repo",
+    )
+    out = r.stdout.decode()
+    assert r.returncode == 0, out + r.stderr.decode()
+    assert out.count("MULTIHOST OK") == 2
