@@ -171,6 +171,11 @@ class Config:
     object_demo_dir: Optional[str] = None
     subgoal_start: int = 0
     sequential_subgoal: bool = True
+    # advance a pending subgoal after this many executed steps even if the
+    # cost thresholds haven't passed (0 = threshold-only, the reference
+    # behavior). Keeps demo-seeded manipulation on the demo's cadence when
+    # a threshold stalls (e.g. contact slows the eef mid-grasp).
+    subgoal_step_limit: int = 0
     demo_cost: bool = False
     demo_timescale: int = 1
     action_repeat: int = 1

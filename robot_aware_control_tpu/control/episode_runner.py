@@ -160,6 +160,7 @@ class EpisodeRunner:
         self._goal_imgs, self._goal_masks = goal_imgs, goal_masks
         self._g_i = max(cfg.subgoal_start, 1)
         self._step = 0
+        self._since_subgoal = 0
 
         obs = env.reset()
         if "sim_start" in demo:
@@ -194,8 +195,19 @@ class EpisodeRunner:
             )
             opt = None
             if cfg.demo_cost and opt_actions is not None:
-                # demo actions are at full rate; subgoals every ts frames
-                opt = opt_actions[(self._g_i - 1) * ts:]
+                # demo actions are at full rate; subgoals every ts frames.
+                # Advance the seed window by steps executed SINCE the last
+                # subgoal advance — re-seeding the same demo window while a
+                # subgoal is pending would re-execute the same open-loop
+                # deltas from an already-moved state (reference indexes by
+                # goal_timestep, pick_episode_runner.py:117; execution and
+                # subgoal cadence decouple here because replanning is
+                # threshold-gated)
+                start_idx = min(
+                    (self._g_i - 1) * ts + self._since_subgoal,
+                    max(len(opt_actions) - 1, 0),
+                )
+                opt = opt_actions[start_idx:]
             actions = self.policy.get_action(curr, goals, ep_num, self._step,
                                              opt_traj=opt)
             terminate = False
@@ -216,7 +228,20 @@ class EpisodeRunner:
                      np.asarray(goal_imgs[g_idx], np.float32)
                      / (255.0 if goal_imgs.dtype == np.uint8 else 1.0)], axis=1,
                 ))
+                g_before = self._g_i
                 self._pick_next_goal(curr, g_state)
+                if (
+                    self._g_i == g_before
+                    and cfg.subgoal_step_limit
+                    and self._since_subgoal + 1 >= cfg.subgoal_step_limit
+                    and self._g_i < num_goals
+                ):
+                    # timeout advance: hold the demo cadence when a cost
+                    # threshold stalls (cfg.subgoal_step_limit)
+                    self._g_i += 1
+                self._since_subgoal = (
+                    0 if self._g_i != g_before else self._since_subgoal + 1
+                )
                 finish_demo = self._g_i >= num_goals
                 if finish_demo or self._step >= cfg.max_episode_length - 1:
                     terminate = True

@@ -60,8 +60,8 @@ def plan_cfg(cfg: Config, tcfg: Config, demo_dir: str) -> Config:
     return tcfg.replace(
         jobname="pick_eval", env="LocobotPick",
         use_env_dynamics=False, demo_dir=demo_dir,
-        demo_cost=True, demo_timescale=1,
-        horizon=cfg.horizon, replan_every=1,
+        demo_cost=True, demo_timescale=cfg.demo_timescale,
+        horizon=cfg.horizon, replan_every=cfg.replan_every,
         opt_iter=cfg.opt_iter, action_candidates=cfg.action_candidates,
         topk=cfg.topk,
         reward_type="dontcare",
@@ -70,7 +70,7 @@ def plan_cfg(cfg: Config, tcfg: Config, demo_dir: str) -> Config:
         sequential_subgoal=True,
         max_episode_length=cfg.max_episode_length,
         record_video_interval=1,
-        num_episodes=3,
+        num_episodes=min(cfg.num_episodes, 6),
     )
 
 
@@ -91,7 +91,7 @@ def _collect_on_cpu(argv, n_episodes, data_root, demo_dir, seed):
         f"cfg, _ = argparser({argv!r})\n"
         f"collect_training_data('LocobotPick', {n_episodes}, {data_root!r}, cfg, seed={seed})\n"
         f"env = LocobotPickEnv(cfg, seed={seed} + 123)\n"
-        f"demo_io.collect_demos(env, 'pick_place', 3, {demo_dir!r})\n"
+        f"demo_io.collect_demos(env, 'pick_place', 6, {demo_dir!r})\n"
     )
     subprocess.run([sys.executable, "-c", code], check=True)
 
@@ -132,9 +132,10 @@ def main(argv=None):
     ckpt_path = ckpt.latest_checkpoint(trainer.log_dir)
     print(f"[pick] trained; ckpt={ckpt_path}", flush=True)
 
-    if not demo_io.list_demos(demo_dir):
+    n_eval = min(cfg.num_episodes, 6)
+    if len(demo_io.list_demos(demo_dir)) < n_eval:
         env = LocobotPickEnv(cfg, seed=cfg.seed + 123)
-        demo_io.collect_demos(env, "pick_place", 3, demo_dir)
+        demo_io.collect_demos(env, "pick_place", n_eval, demo_dir)
     print(f"[pick] eval demos ready in {demo_dir}", flush=True)
 
     pcfg = plan_cfg(cfg, tcfg, demo_dir)

@@ -218,12 +218,19 @@ class PickCEMPolicy(CEMPolicy):
     engine_pick = True
 
     def init_mean_std(self, T: int, opt_traj=None):
+        """(reference: pick/cem.py:66-74: std=init_std with x-std 0.2,
+        gripper mean -0.005 / std 0.005). When the mean is demo-seeded
+        (--demo_cost + demo actions) exploration stays LOCAL around the
+        seed — the reference's wide x-std is for unseeded search and
+        knocks a seeded grasp plan off the demo choreography."""
         mean = jnp.zeros((T - 1, 4), jnp.float32)
         mean = mean.at[:, -1].set(-0.005)
         std = jnp.full((T - 1, 4), self.init_std, jnp.float32)
-        std = std.at[:, 0].set(0.2)
-        std = std.at[:, -1].set(0.005)
-        if opt_traj is not None and self.cfg.demo_cost:
+        seeded = opt_traj is not None and self.cfg.demo_cost
+        if not seeded:
+            std = std.at[:, 0].set(0.2)
+        std = std.at[:, -1].set(0.005 if not seeded else self.init_std / 3)
+        if seeded:
             opt = jnp.asarray(opt_traj, jnp.float32)[: T - 1, :4]
             mean = mean.at[: opt.shape[0]].set(opt)
         return mean, std
