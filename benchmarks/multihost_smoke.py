@@ -68,6 +68,32 @@ templates = {"p": {"w": np.zeros((2, 8, 3), np.float32),
 trees, step = ckpt.load_checkpoint_sharded(path, templates)
 assert step == 3
 assert float(global_sum(trees["p"]["w"])) == s
+
+# --- full trainer loop across both processes -------------------------------
+# Exercises the real multi-host training path end to end: per-host synthetic
+# loaders producing LOCAL batches, device_prefetch -> shard_batch ->
+# make_array_from_process_local_data global assembly (incl. the (B,)
+# batch_weight axis-0 case), the jitted whole-window train step over the
+# global mesh, and the coordinated orbax checkpoint save.
+from robot_aware_control_tpu.config import Config
+from robot_aware_control_tpu.training.trainer import PredictionTrainer
+
+cfg = Config(
+    model="det", experiment="synthetic", g_dim=8, image_height=16,
+    image_width=16, batch_size=8, test_batch_size=8, niter=1, epoch_size=2,
+    n_past=1, n_future=2, n_eval=3, video_length=4, checkpoint_interval=5,
+    eval_interval=50, compute_dtype="float32", robot_dim=5, action_dim=5,
+    robot_joint_dim=5, model_use_mask=True, model_use_robot_state=True,
+    reconstruction_loss="dontcare_l1", log_dir=sys.argv[6], jobname="mh",
+    data_threads=1,
+)
+tr = PredictionTrainer(cfg)
+assert tr.mesh is not None and tr.mesh.size == 4 * nproc
+tr.train()
+assert tr._step == 2, tr._step
+final = ckpt.latest_checkpoint(tr.log_dir)
+assert final is not None and os.path.isdir(final)  # orbax sharded dir
+print(f"[p{pid}] MULTIHOST TRAINER OK", flush=True)
 print(f"[p{pid}] MULTIHOST OK", flush=True)
 """
 
@@ -78,10 +104,11 @@ def main():
     args = ap.parse_args()
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     ckdir = tempfile.mkdtemp(prefix="mh_ckpt_")
+    logdir = tempfile.mkdtemp(prefix="mh_log_")
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", WORKER, str(i), "2", args.port, repo,
-             ckdir],
+             ckdir, logdir],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         )
         for i in range(2)

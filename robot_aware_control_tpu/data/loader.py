@@ -115,8 +115,15 @@ class DataLoader:
             epoch += 1
 
 
-def device_prefetch(it: Iterator[Dict], sharding=None, size: int = 2):
-    """Upload batches ahead of compute (double buffering HBM transfers)."""
+def device_prefetch(it: Iterator[Dict], mesh=None, size: int = 2,
+                    batch_axis_index: int = 1):
+    """Upload batches ahead of compute (double buffering HBM transfers).
+
+    With a mesh, arrays go through `parallel.mesh.shard_batch`, which under
+    multi-process JAX assembles each host's LOCAL batch into a globally
+    sharded jax.Array (`jax.make_array_from_process_local_data`) — a plain
+    device_put of local data with a global sharding would fail on the
+    divisibility check."""
     buf: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
 
@@ -124,8 +131,10 @@ def device_prefetch(it: Iterator[Dict], sharding=None, size: int = 2):
         arrays = {
             k: v for k, v in batch.items() if isinstance(v, np.ndarray)
         }
-        if sharding is not None:
-            arrays = {k: jax.device_put(v, sharding(v)) for k, v in arrays.items()}
+        if mesh is not None:
+            from robot_aware_control_tpu.parallel import mesh as pmesh
+
+            arrays = pmesh.shard_batch(mesh, arrays, batch_axis_index)
         else:
             arrays = {k: jax.device_put(v) for k, v in arrays.items()}
         meta = {k: v for k, v in batch.items() if not isinstance(v, np.ndarray)}

@@ -118,20 +118,22 @@ def expected_pixel_distance(real_dist, pred_dist):
 
 
 def expected_square_pixel_distance(real_dist, pred_dist):
-    """E[(p - p_true)^T (p - p_true)] between pixel distributions
-    (reference: metrics.py:25-47)."""
+    """E[(p - p_true)^T (p - p_true)] between pixel distributions shaped
+    (..., H, W, K) — same trailing-K convention as its sibling
+    expected_pixel_distance (reference: metrics.py:25-47 reduces the H/W
+    axes at -3/-2 and keeps the kernel axis)."""
     def moments(t):
-        """t (..., H, W) normalized pixel distribution -> (E[p], E[p^2])."""
+        """t (..., H, W, K) normalized pixel dist -> ((..., K, 2), (..., K))."""
         t = jnp.asarray(t, jnp.float32)
-        h, w = t.shape[-2], t.shape[-1]
-        ys = jnp.arange(h, dtype=jnp.float32)
-        xs = jnp.arange(w, dtype=jnp.float32)
-        row = jnp.sum(t, axis=-1)  # (..., H)
-        col = jnp.sum(t, axis=-2)  # (..., W)
-        mh = jnp.sum(ys * row, axis=-1)
-        mw = jnp.sum(xs * col, axis=-1)
-        sh = jnp.sum((ys ** 2) * row, axis=-1)
-        sw = jnp.sum((xs ** 2) * col, axis=-1)
+        h, w = t.shape[-3], t.shape[-2]
+        ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+        xs = jnp.arange(w, dtype=jnp.float32)[:, None]
+        row = jnp.sum(t, axis=-2)  # (..., H, K)
+        col = jnp.sum(t, axis=-3)  # (..., W, K)
+        mh = jnp.sum(ys * row, axis=-2)
+        mw = jnp.sum(xs * col, axis=-2)
+        sh = jnp.sum((ys ** 2) * row, axis=-2)
+        sw = jnp.sum((xs ** 2) * col, axis=-2)
         return jnp.stack([mh, mw], -1), sh + sw
 
     mp, sq_p = moments(pred_dist)

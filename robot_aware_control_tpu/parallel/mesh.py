@@ -51,23 +51,37 @@ def host_shard_files(items, process_index: int = None,
     return list(items)[process_index::process_count]
 
 
+# Batch-dict keys whose arrays are per-element (B, ...) rather than
+# time-first (T, B, ...): their batch dim is axis 0, not the default.
+PER_ELEMENT_KEYS = (
+    "batch_weight", "low", "high", "raw_low", "raw_high", "high_movement",
+)
+
+
+def batch_axis_for(key, default: int = 1) -> int:
+    return 0 if key in PER_ELEMENT_KEYS else default
+
+
 def make_global_batch(mesh: Mesh, local_batch: dict, batch_axis_index: int = 1,
                       axis: str = "data"):
     """Assemble per-host local arrays into globally-sharded jax.Arrays
     (multi-host `jax.make_array_from_process_local_data`). Each host passes
     its LOCAL batch slice; the result behaves as the concatenated global
-    batch sharded over the mesh."""
+    batch sharded over the mesh. Per-element keys (PER_ELEMENT_KEYS) are
+    assembled along their axis-0 batch dim so e.g. a host-local (B_local,)
+    batch_weight becomes the global (B,) array."""
 
-    def put(x):
+    def put(k, x):
+        ax = batch_axis_for(k, batch_axis_index)
         if isinstance(x, jax.Array):
             return x  # already assembled/sharded (e.g. by device_prefetch)
         x = np.asarray(x)
-        if x.ndim > batch_axis_index:
-            sharding = batch_sharding(mesh, batch_axis_index, x.ndim, axis)
+        if x.ndim > ax:
+            sharding = batch_sharding(mesh, ax, x.ndim, axis)
             return jax.make_array_from_process_local_data(sharding, x)
         return jax.device_put(x, NamedSharding(mesh, P()))
 
-    return jax.tree_util.tree_map(put, local_batch)
+    return {k: put(k, v) for k, v in local_batch.items()}
 
 
 def replicate(mesh: Mesh, tree):
@@ -83,26 +97,29 @@ def batch_sharding(mesh: Mesh, batch_axis_index: int, ndim: int, axis: str = "da
 
 
 def shard_batch(mesh: Mesh, batch: dict, batch_axis_index: int = 1, axis: str = "data"):
-    """Shard a dict of time-first arrays (T, B, ...) along B.
+    """Shard a dict of time-first arrays (T, B, ...) along B; per-element
+    keys (PER_ELEMENT_KEYS, shape (B, ...)) shard along axis 0.
 
-    Arrays with fewer dims than batch_axis_index+1 are replicated.
+    Arrays with fewer dims than their batch axis+1 are replicated.
     The batch dim must divide the mesh size; callers pad if needed.
     Under multi-process JAX the batch is treated as host-LOCAL and
     assembled into a global array (make_global_batch); single-process it
-    is a plain device_put.
+    is a plain device_put. Values that are already jax.Arrays pass through
+    untouched (e.g. sliced from a prefetched device video).
     """
     if jax.process_count() > 1:
         return make_global_batch(mesh, batch, batch_axis_index, axis)
 
-    def put(x):
-        x = np.asarray(x) if not isinstance(x, jax.Array) else x
-        if x.ndim > batch_axis_index:
-            return jax.device_put(
-                x, batch_sharding(mesh, batch_axis_index, x.ndim, axis)
-            )
+    def put(k, x):
+        if isinstance(x, jax.Array):
+            return x
+        x = np.asarray(x)
+        ax = batch_axis_for(k, batch_axis_index)
+        if x.ndim > ax:
+            return jax.device_put(x, batch_sharding(mesh, ax, x.ndim, axis))
         return jax.device_put(x, NamedSharding(mesh, P()))
 
-    return jax.tree_util.tree_map(put, batch)
+    return {k: put(k, v) for k, v in batch.items()}
 
 
 def pad_to_multiple(x: np.ndarray, axis: int, multiple: int):

@@ -117,12 +117,34 @@ def save_checkpoint_sharded(log_dir: str, step: int, trees: Dict[str, Any]):
     return path
 
 
+def _path_names(path) -> Tuple[str, ...]:
+    """Normalize a tree path to a tuple of names so template nodes
+    (namedtuples -> GetAttrKey, dicts -> DictKey, tuples -> SequenceKey)
+    match the dict/list containers orbax restores them as."""
+    names = []
+    for p in path:
+        if hasattr(p, "key"):
+            names.append(str(p.key))
+        elif hasattr(p, "name"):
+            names.append(str(p.name))
+        elif hasattr(p, "idx"):
+            names.append(str(p.idx))
+        else:  # pragma: no cover - future key types
+            names.append(str(p))
+    return tuple(names)
+
+
 def load_checkpoint_sharded(
     path: str, templates: Dict[str, Any], shardings: Optional[Dict] = None
 ) -> Tuple[Dict[str, Any], int]:
     """Restore a directory checkpoint. `shardings` (optional) mirrors
     `templates` with jax.sharding.Sharding leaves to restore arrays
-    directly into a mesh layout."""
+    directly into a mesh layout.
+
+    Leaves are matched to the template BY KEY PATH, not flat order: orbax
+    serializes namedtuple/custom nodes (e.g. optax optimizer states) as
+    dicts whose sorted-key flatten order can differ from the template's
+    field order, which would silently transpose same-shape leaves."""
     import orbax.checkpoint as ocp
 
     with ocp.PyTreeCheckpointer() as cp:
@@ -133,11 +155,26 @@ def load_checkpoint_sharded(
         if name not in restored["trees"]:
             raise KeyError(f"checkpoint has no tree named {name!r}")
         got = restored["trees"][name]
-        _, treedef = jax.tree_util.tree_flatten(template)
-        got_flat = jax.tree_util.tree_leaves(got)
-        if treedef.num_leaves != len(got_flat):
-            raise ValueError(f"tree {name!r} leaf count mismatch")
-        tree = jax.tree_util.tree_unflatten(treedef, got_flat)
+        got_map = {
+            _path_names(p): leaf
+            for p, leaf in jax.tree_util.tree_flatten_with_path(got)[0]
+        }
+        paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
+        leaves = []
+        for p, tleaf in paths_leaves:
+            key = _path_names(p)
+            if key not in got_map:
+                raise KeyError(
+                    f"checkpoint tree {name!r} missing leaf {'/'.join(key)}"
+                )
+            leaves.append(got_map[key])
+        if len(got_map) != len(paths_leaves):
+            extra = set(got_map) - {_path_names(p) for p, _ in paths_leaves}
+            raise ValueError(
+                f"tree {name!r} has {len(extra)} unmatched checkpoint leaves: "
+                f"{sorted(extra)[:3]}"
+            )
+        tree = jax.tree_util.tree_unflatten(treedef, leaves)
         if shardings is not None and name in shardings:
             tree = jax.device_put(tree, shardings[name])
         out[name] = tree

@@ -144,10 +144,16 @@ class PredictionTrainer:
         cfg = self.cfg
         self.transfer_loader = None
         if cfg.experiment == "synthetic" or cfg.dataset == "synthetic":
-            train = SyntheticDataset(cfg, cfg.batch_size, seed=cfg.seed,
-                                     num_batches=max(cfg.epoch_size, 1))
-            test = SyntheticDataset(cfg, cfg.test_batch_size,
-                                    seed=cfg.seed + 1, num_batches=2)
+            # batch sizes are GLOBAL: each host generates its share and
+            # shard_batch assembles the global array (multi-host feed)
+            pidx = jax.process_index()
+            train = SyntheticDataset(
+                cfg, data_loader._host_batch(cfg.batch_size),
+                seed=cfg.seed + 1000 * pidx,
+                num_batches=max(cfg.epoch_size, 1))
+            test = SyntheticDataset(
+                cfg, data_loader._host_batch(cfg.test_batch_size),
+                seed=cfg.seed + 1 + 1000 * pidx, num_batches=2)
             return train, test
         if "finetune" in cfg.experiment:
             return data_loader.create_finetune_loaders(cfg)
@@ -225,11 +231,15 @@ class PredictionTrainer:
         return out
 
     def _device_batch(self, window: Dict) -> Dict:
-        arrs = {k: np.asarray(v) for k, v in window.items()
-                if not isinstance(v, (list, str))}
+        # jax.Arrays (from device_prefetch) pass through untouched — an
+        # np.asarray here would download every video to host and re-upload
+        # it (~50-170 ms per sync through the TPU tunnel)
+        arrs = {k: (v if isinstance(v, jax.Array) else np.asarray(v))
+                for k, v in window.items() if not isinstance(v, (list, str))}
         if self.mesh is not None:
             return pmesh.shard_batch(self.mesh, arrs, batch_axis_index=1)
-        return {k: jnp.asarray(v) for k, v in arrs.items()}
+        return {k: (v if isinstance(v, jax.Array) else jnp.asarray(v))
+                for k, v in arrs.items()}
 
     # ------------------------------------------------------------------
     def _train_video(self, batch: Dict) -> Dict[str, float]:
@@ -254,10 +264,18 @@ class PredictionTrainer:
                     if k in batch and k != "qpos"}
             full["actions"] = batch["actions"]
             if "high_movement" in batch:
-                full["batch_weight"] = np.where(
-                    np.asarray(batch["high_movement"]),
-                    self.cfg.movement_weight, 1.0,
-                ).astype(np.float32)
+                # jnp.where keeps prefetched device arrays on device (and
+                # inherits their sharding); host np inputs stay host-side
+                # numpy until _device_batch uploads them
+                hm = batch["high_movement"]
+                if isinstance(hm, jax.Array):
+                    full["batch_weight"] = jnp.where(
+                        hm, self.cfg.movement_weight, 1.0
+                    ).astype(jnp.float32)
+                else:
+                    full["batch_weight"] = np.where(
+                        np.asarray(hm), self.cfg.movement_weight, 1.0
+                    ).astype(np.float32)
             dev_video = self._device_batch(full)
         for i in range(num):
             if cfg.random_snippet and T > window:
@@ -419,17 +437,9 @@ class PredictionTrainer:
         if self.robot_model is None and self.learned_robot is None:
             from robot_aware_control_tpu.data.loader import device_prefetch
 
-            if self.mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                def _shard(v):
-                    if v.ndim > 1:
-                        return pmesh.batch_sharding(self.mesh, 1, v.ndim)
-                    return NamedSharding(self.mesh, P())
-
-                train_iter = device_prefetch(train_iter, sharding=_shard)
-            else:
-                train_iter = device_prefetch(train_iter)
+            # mesh-aware: under multi-process JAX shard_batch assembles the
+            # host-local batches into global arrays (make_global_batch)
+            train_iter = device_prefetch(train_iter, mesh=self.mesh)
         import time as _time
 
         window = cfg.n_past + cfg.n_future

@@ -83,6 +83,9 @@ def test_cosine_distance_properties(rng):
     pred[0, 0, 5, 6, 0] = 1.0
     d = float(np.asarray(expected_pixel_distance(real, pred))[0, 0, 0])
     assert abs(d - np.hypot(3, 4)) < 1e-5
-    sq = float(np.asarray(expected_square_pixel_distance(
-        real[..., 0], pred[..., 0]))[0, 0])
+    # same trailing-K (B, T, H, W, K) convention as expected_pixel_distance
+    sq = float(np.asarray(expected_square_pixel_distance(real, pred))[0, 0, 0])
     assert abs(sq - 25.0) < 1e-4
+    assert np.asarray(expected_square_pixel_distance(real, pred)).shape == (
+        1, 1, 1,
+    )

@@ -67,6 +67,26 @@ def test_sharded_checkpoint_roundtrip_on_mesh(tmp_path):
                                   np.ones(3, np.float32))
 
 
+def test_sharded_checkpoint_namedtuple_field_order(tmp_path):
+    """Restore matches leaves by KEY PATH: orbax serializes namedtuples
+    (e.g. optax states) as dicts whose sorted-key flatten order differs
+    from field order — same-shape leaves must not transpose."""
+    import collections
+
+    from robot_aware_control_tpu.training import checkpoint as ckpt
+
+    # field order (nu, mu) vs sorted dict order (mu, nu); same shapes
+    State = collections.namedtuple("State", ["nu", "mu"])
+    state = State(nu=np.full(4, 7.0, np.float32), mu=np.full(4, 3.0, np.float32))
+    path = ckpt.save_checkpoint_sharded(str(tmp_path), 1, {"opt": state})
+    trees, _ = ckpt.load_checkpoint_sharded(
+        path, {"opt": State(nu=np.zeros(4, np.float32),
+                            mu=np.zeros(4, np.float32))}
+    )
+    np.testing.assert_array_equal(np.asarray(trees["opt"].nu), state.nu)
+    np.testing.assert_array_equal(np.asarray(trees["opt"].mu), state.mu)
+
+
 def test_make_global_batch_single_process():
     """make_global_batch assembles local arrays into mesh-sharded global
     arrays (single-process: local == global)."""
