@@ -77,11 +77,15 @@ class DataLoader:
         stop = threading.Event()
 
         def worker(worker_id):
-            for bi in range(worker_id, len(batches), self.num_workers):
-                if stop.is_set():
-                    return
-                items = [self.dataset[i] for i in batches[bi]]
-                q.put((bi, collate_time_first(items)))
+            try:
+                for bi in range(worker_id, len(batches), self.num_workers):
+                    if stop.is_set():
+                        return
+                    items = [self.dataset[i] for i in batches[bi]]
+                    q.put((bi, collate_time_first(items)))
+            except BaseException as e:  # propagate instead of hanging the consumer
+                q.put(("error", e))
+                return
             q.put((None, None))
 
         threads = [
@@ -101,6 +105,8 @@ class DataLoader:
                 if bi is None:
                     finished += 1
                     continue
+                if bi == "error":
+                    raise batch
                 buffered[bi] = batch
         finally:
             stop.set()
@@ -143,16 +149,20 @@ def device_prefetch(it: Iterator[Dict], mesh=None, size: int = 2,
     stop = threading.Event()
 
     def feeder():
-        for batch in it:
-            item = put(batch)
-            while not stop.is_set():
-                try:
-                    buf.put(item, timeout=0.5)
-                    break
-                except queue.Full:
-                    continue
-            if stop.is_set():
-                return
+        try:
+            for batch in it:
+                item = put(batch)
+                while not stop.is_set():
+                    try:
+                        buf.put(item, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+        except BaseException as e:  # propagate instead of hanging the consumer
+            buf.put(("__prefetch_error__", e))
+            return
         buf.put(sentinel)
 
     threading.Thread(target=feeder, daemon=True).start()
@@ -161,6 +171,9 @@ def device_prefetch(it: Iterator[Dict], mesh=None, size: int = 2,
             item = buf.get()
             if item is sentinel:
                 return
+            if isinstance(item, tuple) and len(item) == 2 \
+                    and item[0] == "__prefetch_error__":
+                raise item[1]
             yield item
     finally:
         # release the feeder when the consumer abandons the generator
@@ -237,93 +250,290 @@ def create_loaders(config: Config):
 
 
 def create_transfer_loader(config: Config):
-    """Loader over the held-out transfer robot/viewpoint set (reference:
-    locobot_singleview_dataloader.py:97-147)."""
+    """Generic loader over held-out files DISJOINT from the training split
+    (reference pattern: locobot_singleview_dataloader.py:97-147 loads a
+    separate unseen-robot directory; for an unstructured data_root the best
+    achievable holdout is file-level — we reuse the same seeded split as
+    create_loaders and take from its TEST side, so no transfer file is ever
+    trained on. Experiment-keyed transfer loaders below use genuinely
+    unseen robot/viewpoint directories)."""
     from robot_aware_control_tpu.data.robonet_hdf5 import RoboNetHDF5Dataset
 
     pairs = discover_hdf5(config.data_root)
-    files = [p for p, _ in pairs][: config.finetune_num_test]
-    robots = [r for _, r in pairs][: config.finetune_num_test]
-    ds = RoboNetHDF5Dataset(files, robots, config, seed=config.seed + 2)
-    return DataLoader(ds, config.test_batch_size,
+    _, test_pairs = train_test_split(
+        pairs, config.train_val_split, config.seed
+    )
+    held = test_pairs[: config.finetune_num_test]
+    if not held:
+        raise FileNotFoundError(f"no held-out hdf5 under {config.data_root}")
+    ds = RoboNetHDF5Dataset(
+        [p for p, _ in held], [r for _, r in held], config,
+        seed=config.seed + 2,
+    )
+    return DataLoader(ds, min(config.test_batch_size, len(ds)),
                       num_workers=config.data_threads, seed=config.seed + 2,
                       shuffle=False, drop_last=False)
 
 
-def _robot_subdir_loaders(config: Config, subdirs):
-    """Loaders over specific robot/viewpoint subdirectories."""
+# --- per-robot viewpoint directories (the de-facto dataset layout API) -----
+# (reference: robonet_dataloaders.py:13-18, sawyer_dataloaders.py:14-17,
+#  widowx_dataloaders.py:18, locobot_singleview_dataloader.py:11)
+BAXTER_TRAIN_DIRS = ["left_c0"]
+WIDOWX_TRAIN_DIRS = ["widowx1_c0"]
+# robonet multi-robot training uses ALL sawyer views incl. sudri2_c1 ...
+ROBONET_SAWYER_DIRS = [
+    "sudri0_c0", "sudri0_c1", "sudri0_c2", "sudri2_c0", "sudri2_c1",
+    "sudri2_c2", "vestri_table2_c0", "vestri_table2_c1", "vestri_table2_c2",
+]
+# ... while the sawyer-multiview experiment holds sudri2_c1 out for
+# zero-shot viewpoint transfer (sawyer_dataloaders.py:14-17)
+SAWYER_TRAIN_DIRS = [
+    "sudri0_c0", "sudri0_c1", "sudri0_c2", "sudri2_c0", "sudri2_c2",
+    "vestri_table2_c0", "vestri_table2_c1", "vestri_table2_c2",
+]
+SAWYER_TEST_DIRS = ["sudri2_c1"]
+LOCOBOT_FOLDERS = ["c0", "c1", "c2", "c3"]
+
+
+def _scan_view_dirs(config: Config, robot: str, views_dir: str, dirs):
+    """(path, f"{robot}_{view}") pairs under data_root/views_dir/<view>/
+    (reference: robonet_dataloaders.py:137-208 get_*_data)."""
+    pairs = []
+    for d in dirs:
+        root = os.path.join(config.data_root, views_dir, d)
+        for path in sorted(glob.glob(os.path.join(root, "*.hdf5"))):
+            pairs.append((path, f"{robot}_{d}"))
+    return pairs
+
+
+def _seeded_shuffle(pairs, seed: int):
+    pairs = sorted(pairs, key=lambda x: x[0])
+    idx = np.arange(len(pairs))
+    np.random.RandomState(seed).shuffle(idx)
+    return [pairs[i] for i in idx]
+
+
+def _movement_filter(config: Config, pairs):
+    """Keep only high-movement videos when --world_error_dict is given
+    (reference: sawyer/widowx finetune+transfer loaders filter on the
+    motion-info `high_error` labels, sawyer_dataloaders.py:22-33). Without
+    the dict every file passes, keeping fixture runs hermetic."""
+    if not config.world_error_dict:
+        return pairs
+    from robot_aware_control_tpu.evaluation.obj_movement import (
+        load_movement_metadata,
+    )
+
+    meta = load_movement_metadata(config.world_error_dict)
+    return [p for p in pairs if meta.get(p[0], False)]
+
+
+def _mk_loader(config: Config, pairs, seed: int, bs: int, shuffle=True,
+               drop_last=True):
     from robot_aware_control_tpu.data.robonet_hdf5 import RoboNetHDF5Dataset
 
-    pairs = discover_hdf5(config.data_root, subdirs)
+    ds = RoboNetHDF5Dataset(
+        [p for p, _ in pairs], [r for _, r in pairs], config, seed=seed
+    )
+    # never let a small split produce zero batches (drop_last)
+    return DataLoader(ds, min(bs, max(len(ds), 1)),
+                      num_workers=config.data_threads, seed=seed,
+                      shuffle=shuffle, drop_last=drop_last)
+
+
+def _split_loaders(config: Config, pairs):
+    """Shuffled train/test split + loaders (the create_loaders shape shared
+    by robonet/sawyer factories)."""
     if not pairs:
-        raise FileNotFoundError(f"no hdf5 under {config.data_root}/{subdirs}")
+        raise FileNotFoundError(f"no hdf5 under {config.data_root}")
     train, test = train_test_split(pairs, config.train_val_split, config.seed)
     train, test = _host_shard(train), _host_shard(test)
-
-    def mk(pairs_, seed, bs):
-        ds = RoboNetHDF5Dataset(
-            [p for p, _ in pairs_], [r for _, r in pairs_], config, seed=seed
-        )
-        # never let a small split produce zero batches (drop_last)
-        return DataLoader(ds, min(bs, max(len(ds), 1)),
-                          num_workers=config.data_threads, seed=seed)
-
     return (
-        mk(train, config.seed, _host_batch(config.batch_size)),
-        mk(test, config.seed + 1, _host_batch(config.test_batch_size)),
+        _mk_loader(config, train, config.seed, _host_batch(config.batch_size)),
+        _mk_loader(config, test, config.seed + 1,
+                   _host_batch(config.test_batch_size)),
     )
 
 
+def _head_split_loaders(config: Config, pairs, n_test: int, n_train: int):
+    """Reference's head-split convention: first n_test files test, next
+    n_train train (locobot_singleview_dataloader.py:108-121). n_test clamps
+    on tiny fixture trees so the train side is never empty."""
+    if not pairs:
+        raise FileNotFoundError(f"no hdf5 under {config.data_root}")
+    if n_test >= len(pairs):
+        n_test = max(1, len(pairs) // 5)
+    test = pairs[:n_test]
+    train = pairs[n_test:n_test + n_train]
+    train, test = _host_shard(train), _host_shard(test)
+    return (
+        _mk_loader(config, train, config.seed, _host_batch(config.batch_size)),
+        _mk_loader(config, test, config.seed + 1,
+                   _host_batch(config.test_batch_size)),
+    )
+
+
+def _finetune_split_loaders(config: Config, pairs):
+    """Few-shot split: first finetune_num_test files test, next
+    finetune_num_train train (reference: sawyer_dataloaders.py:36-45)."""
+    if not pairs:
+        raise FileNotFoundError(f"no hdf5 under {config.data_root}")
+    nte, ntr = config.finetune_num_test, config.finetune_num_train
+    if nte >= len(pairs):
+        nte = max(1, len(pairs) // 5)
+    test = pairs[:nte]
+    train = pairs[nte:nte + ntr]
+    train, test = _host_shard(train), _host_shard(test)
+    return (
+        _mk_loader(config, train, config.seed, _host_batch(config.batch_size),
+                   drop_last=False),
+        _mk_loader(config, test, config.seed + 1,
+                   _host_batch(config.test_batch_size), drop_last=False),
+    )
+
+
+def create_robonet_loaders(config: Config):
+    """Multi-robot RoboNet training mix: baxter left_c0 + widowx widowx1_c0
+    + all sawyer views, shuffled then train/test split (reference:
+    robonet_dataloaders.py:21-80)."""
+    pairs = (
+        _scan_view_dirs(config, "baxter", "baxter_views", BAXTER_TRAIN_DIRS)
+        + _scan_view_dirs(config, "widowx", "widowx_views", WIDOWX_TRAIN_DIRS)
+        + _scan_view_dirs(config, "sawyer", "sawyer_views", ROBONET_SAWYER_DIRS)
+    )
+    return _split_loaders(config, _seeded_shuffle(pairs, config.seed))
+
+
 def create_sawyer_loaders(config: Config):
-    """(reference: sawyer/sawyer_dataloaders.py:18-126)"""
-    return _robot_subdir_loaders(config, ["sawyer_views"])
+    """Sawyer multiview training over SAWYER_TRAIN_DIRS, holding the
+    sudri2_c1 viewpoint out (reference: sawyer_dataloaders.py:126-197)."""
+    pairs = _scan_view_dirs(config, "sawyer", "sawyer_views", SAWYER_TRAIN_DIRS)
+    return _split_loaders(config, _seeded_shuffle(pairs, config.seed))
 
 
-def create_widowx_loaders(config: Config):
-    """(reference: widowx/widowx_dataloaders.py:10-66)"""
-    return _robot_subdir_loaders(config, ["widowx_views"])
+def create_sawyer_transfer_loader(config: Config):
+    """Zero-shot eval on the held-out sudri2_c1 sawyer viewpoint — disjoint
+    from SAWYER_TRAIN_DIRS by construction (reference:
+    sawyer_dataloaders.py:84-123; first 500 files, train side of split)."""
+    pairs = _movement_filter(
+        config,
+        _scan_view_dirs(config, "sawyer", "sawyer_views", SAWYER_TEST_DIRS),
+    )
+    pairs = _seeded_shuffle(pairs, config.seed)[:500]
+    if not pairs:
+        raise FileNotFoundError("no sawyer transfer hdf5 found")
+    take, _ = train_test_split(pairs, config.train_val_split, config.seed)
+    take = take or pairs
+    return _mk_loader(config, take, config.seed + 2,
+                      _host_batch(config.test_batch_size), drop_last=False)
 
 
-def create_baxter_loaders(config: Config):
-    """(reference: baxter/baxter_dataloaders.py:13-69)"""
-    return _robot_subdir_loaders(config, ["baxter_views"])
+def create_sawyer_finetune_loaders(config: Config):
+    """Few-shot finetune on the held-out sawyer viewpoint (reference:
+    sawyer_dataloaders.py:19-81, high-error filtered)."""
+    pairs = _movement_filter(
+        config,
+        _scan_view_dirs(config, "sawyer", "sawyer_views", SAWYER_TEST_DIRS),
+    )
+    return _finetune_split_loaders(config, _seeded_shuffle(pairs, config.seed))
+
+
+def create_widowx_finetune_loaders(config: Config):
+    """(reference: widowx_dataloaders.py:10-64)"""
+    pairs = _movement_filter(
+        config,
+        _scan_view_dirs(config, "widowx", "widowx_views", WIDOWX_TRAIN_DIRS),
+    )
+    return _finetune_split_loaders(config, _seeded_shuffle(pairs, config.seed))
+
+
+def create_widowx_transfer_loader(config: Config):
+    """(reference: widowx_dataloaders.py:67-103; first 300 files)"""
+    pairs = _movement_filter(
+        config,
+        _scan_view_dirs(config, "widowx", "widowx_views", WIDOWX_TRAIN_DIRS),
+    )
+    pairs = _seeded_shuffle(pairs, config.seed)[:300]
+    if not pairs:
+        raise FileNotFoundError("no widowx transfer hdf5 found")
+    return _mk_loader(config, pairs, config.seed + 2,
+                      _host_batch(config.test_batch_size), drop_last=False)
+
+
+def _locobot_pairs(config: Config, views_dir: str, folders):
+    """Locobot file pairs: reference layout <data_root>/<views_dir>/<c*>
+    first, falling back to the collected flat layout
+    <data_root>/locobot_c0/traj_*.hdf5 (data/collect.py) so env-collected
+    trees drive the same experiments."""
+    pairs = _scan_view_dirs(config, "locobot", views_dir, folders)
+    if pairs:
+        return pairs
+    return [(p, vp) for p, vp in discover_hdf5(config.data_root)
+            if "locobot" in vp]
 
 
 def create_locobot_loaders(config: Config):
-    """(reference: locobot/locobot_singleview_dataloader.py:12-60)"""
-    return _robot_subdir_loaders(config, ["locobot_views"])
+    """Locobot singleview training over c0..c3 (reference:
+    locobot_singleview_dataloader.py:95-146; first 200 test, next 3000
+    train)."""
+    pairs = _locobot_pairs(config, "locobot_views", LOCOBOT_FOLDERS)
+    return _head_split_loaders(
+        config, _seeded_shuffle(pairs, config.seed), n_test=200, n_train=3000
+    )
+
+
+def create_locobot_finetune_loaders(config: Config):
+    """(reference: locobot_singleview_dataloader.py:12-60)"""
+    pairs = _locobot_pairs(config, "locobot_views", LOCOBOT_FOLDERS)
+    return _finetune_split_loaders(config, _seeded_shuffle(pairs, config.seed))
+
+
+def create_locobot_transfer_loader(config: Config):
+    """Zero-shot eval on unseen locobot data for train_robonet — a robot
+    absent from the robonet training mix entirely (reference:
+    locobot_singleview_dataloader.py:62-93; first 400 files)."""
+    pairs = _locobot_pairs(config, "locobot_views", LOCOBOT_FOLDERS)
+    pairs = _seeded_shuffle(pairs, config.seed)[:400]
+    if not pairs:
+        raise FileNotFoundError("no locobot transfer hdf5 found")
+    return _mk_loader(config, pairs, config.seed + 2,
+                      _host_batch(config.test_batch_size), drop_last=False)
+
+
+def create_locobot_table_loaders(config: Config):
+    """(reference: locobot_table_dataloaders.py:95-143; table task data
+    under locobot_table_views/c0, first 1000 test, next 10000 train)."""
+    pairs = _locobot_pairs(config, "locobot_table_views", ["c0"])
+    return _head_split_loaders(
+        config, _seeded_shuffle(pairs, config.seed), n_test=1000, n_train=10000
+    )
+
+
+def create_locobot_pick_loaders(config: Config):
+    """(reference: locobot_pick_dataloaders.py:11-58; pick task data under
+    locobot_pick_views/c0, first 500 test, rest train)."""
+    pairs = _locobot_pairs(config, "locobot_pick_views", ["c0"])
+    return _head_split_loaders(
+        config, _seeded_shuffle(pairs, config.seed), n_test=500,
+        n_train=100000,
+    )
 
 
 def create_movement_loaders(config: Config):
     """Loaders restricted to videos labeled high-movement by the copy
     baseline (reference: robonet_dataloaders.py:210-327 movement-filtered
     loaders + obj_movement.pkl metadata)."""
-    from robot_aware_control_tpu.data.robonet_hdf5 import RoboNetHDF5Dataset
+    if not config.world_error_dict:
+        raise ValueError("--world_error_dict required for movement loaders")
     from robot_aware_control_tpu.evaluation.obj_movement import (
         load_movement_metadata,
     )
 
-    if not config.world_error_dict:
-        raise ValueError("--world_error_dict required for movement loaders")
     meta = load_movement_metadata(config.world_error_dict)
     pairs = [p for p in discover_hdf5(config.data_root) if meta.get(p[0], False)]
     if not pairs:
         raise FileNotFoundError("no high-movement videos found")
-    train, test = train_test_split(pairs, config.train_val_split, config.seed)
-    train, test = _host_shard(train), _host_shard(test)
-
-    def mk(pairs_, seed, bs):
-        ds = RoboNetHDF5Dataset(
-            [p for p, _ in pairs_], [r for _, r in pairs_], config, seed=seed
-        )
-        # never let a small split produce zero batches (drop_last)
-        return DataLoader(ds, min(bs, max(len(ds), 1)),
-                          num_workers=config.data_threads, seed=seed)
-
-    return (
-        mk(train, config.seed, _host_batch(config.batch_size)),
-        mk(test, config.seed + 1, _host_batch(config.test_batch_size)),
-    )
+    return _split_loaders(config, pairs)
 
 
 def create_finetune_loaders(config: Config):

@@ -34,6 +34,19 @@ def evaluate_checkpoint(cfg: Config, ckpt_path: str, loader=None):
     return metrics
 
 
+def evaluate_obj_movement(cfg: Config, ckpt_path: str):
+    """PSNR/SSIM restricted to high-movement videos (reference:
+    evaluation/evaluate_obj_movement.py:13-24 via the movement-filtered
+    loader, robonet_dataloaders.py:295)."""
+    from robot_aware_control_tpu.data.loader import create_movement_loaders
+
+    trainer = PredictionTrainer(cfg)
+    trainer.load_checkpoint(ckpt_path, finetune=False)
+    _, test_loader = create_movement_loaders(cfg)
+    metrics, _ = trainer._eval_epoch(iter(test_loader))
+    return metrics
+
+
 def predict_videos(trainer: PredictionTrainer, loader, num_batches=2):
     """Autoregressive predicted videos + ground truth (B, T, H, W, 3)
     (reference: trainer.predict_video, trainer.py:1149-1224)."""

@@ -90,7 +90,9 @@ class PredictionTrainer:
             self.bn = pmesh.replicate(self.mesh, self.bn)
             self.opt_state = pmesh.replicate(self.mesh, self.opt_state)
 
-        # robot model for finetune experiments (trainer.py:123-130)
+        # robot model for finetune experiments (trainer.py:123-130): the
+        # analytical model is locobot-only; sawyer/widowx finetunes use
+        # ground-truth dataset masks unless --learned_robot_model
         self.robot_model = None
         self.learned_robot = None
         if "finetune" in cfg.experiment and (
@@ -98,7 +100,7 @@ class PredictionTrainer:
         ):
             if cfg.learned_robot_model:
                 self.learned_robot = self._load_learned_robot_model()
-            else:
+            elif cfg.experiment == "finetune_locobot":
                 self.robot_model = get_robot_model(cfg)
 
     # ------------------------------------------------------------------
@@ -155,14 +157,50 @@ class PredictionTrainer:
                 cfg, data_loader._host_batch(cfg.test_batch_size),
                 seed=cfg.seed + 1 + 1000 * pidx, num_batches=2)
             return train, test
-        if "finetune" in cfg.experiment:
+        exp = cfg.experiment
+        if exp == "train_robonet":
+            # zero-shot transfer measured on locobot — a robot absent from
+            # the robonet training mix (trainer.py:903-913)
+            self.transfer_loader = self._try_transfer(
+                data_loader.create_locobot_transfer_loader
+            )
+            return data_loader.create_robonet_loaders(cfg)
+        if exp == "train_sawyer_multiview":
+            # zero-shot transfer on the held-out sudri2_c1 viewpoint
+            # (trainer.py:915-925)
+            self.transfer_loader = self._try_transfer(
+                data_loader.create_sawyer_transfer_loader
+            )
+            return data_loader.create_sawyer_loaders(cfg)
+        if exp == "finetune_sawyer_view":
+            return data_loader.create_sawyer_finetune_loaders(cfg)
+        if exp == "finetune_widowx":
+            return data_loader.create_widowx_finetune_loaders(cfg)
+        if exp == "train_locobot_singleview":
+            return data_loader.create_locobot_loaders(cfg)
+        if exp == "finetune_locobot":
+            return data_loader.create_locobot_finetune_loaders(cfg)
+        if exp == "train_locobot_table":
+            return data_loader.create_locobot_table_loaders(cfg)
+        if exp == "train_locobot_pick":
+            return data_loader.create_locobot_pick_loaders(cfg)
+        if "finetune" in exp:
             return data_loader.create_finetune_loaders(cfg)
         train, test = data_loader.create_loaders(cfg)
-        try:
-            self.transfer_loader = data_loader.create_transfer_loader(cfg)
-        except FileNotFoundError:
-            self.transfer_loader = None
+        self.transfer_loader = self._try_transfer(
+            data_loader.create_transfer_loader
+        )
         return train, test
+
+    def _try_transfer(self, factory):
+        try:
+            return factory(self.cfg)
+        except FileNotFoundError:
+            self.logger.info(
+                f"no transfer data for {factory.__name__}; skipping "
+                "transfer eval"
+            )
+            return None
 
     # ------------------------------------------------------------------
     def _sched_prob(self) -> float:
