@@ -1,27 +1,30 @@
 """Quantify capsule-mask fidelity against MuJoCo segmentation masks.
 
 The TPU framework replaces the reference's MuJoCo segmentation renders
-(reference: src/env/robotics/masks/base_mask_env.py:73-82, thick/thin
-locobot variants src/env/robotics/masks/locobot_mask_env.py:14-31) with the
-on-device capsule renderer (robot_aware_control_tpu/robot/mask_renderer.py).
-This harness measures how close the two are: it loads the reference MJCF
-(`locobot.xml` / `locobot_thick.xml`), applies the measured camera
-extrinsics exactly as LocobotAnalyticalModel does (reference:
-src/dataset/locobot/locobot_model.py:26-35 with
-camera_to_world_dict["locobot_modified_c0"], set_opencv_camera_pose at
-src/env/robotics/masks/base_mask_env.py:8-22), sweeps eef targets over the
-pushing workspace through the SAME analytic IK the planner uses, and
-reports mask IoU.
+(reference: src/env/robotics/masks/base_mask_env.py:24-82 and the
+per-robot mask envs) with on-device capsule renderers:
+robot_aware_control_tpu/robot/mask_renderer.py for the locobot and
+robot_aware_control_tpu/robot/kinematic_chain.py (measured chains,
+robot/_chain_data.py) for the other seven arms. This harness measures how
+close the two are, per robot:
+
+- loads each reference MJCF, applies the measured camera extrinsics
+  exactly as the reference mask envs do (set_opencv_camera_pose,
+  base_mask_env.py:8-22; per-robot mains e.g. sawyer_mask_env.py:226-230),
+- sweeps joint configurations (locobot: IK over the pushing workspace;
+  chain arms: seeded uniform draws within the central MJCF joint ranges),
+- reports mask IoU at each reference env's native render size, plus a
+  POE-FK vs MuJoCo-FK parity error for the chain arms,
+- with --tune, coordinate-searches the capsule radii against the
+  segmentation oracle and writes
+  robot_aware_control_tpu/robot/_chain_tuned.py.
 
 Usage:
-  python benchmarks/mask_fidelity.py [--tune] [--grid 7] [--out PATH]
+  python benchmarks/mask_fidelity.py [--robots all|locobot|sawyer,...]
+      [--tune] [--grid 7] [--n 40] [--out PATH]
 
-Writes JSON {"thin": {...}, "thick": {...}} with mean/min IoU; --tune runs
-a coordinate search over capsule radii and prints the best radii found.
-
-Requires: mujoco python bindings + a working EGL software renderer and the
-reference checkout at /root/reference (override with REFERENCE_ROOT).
-Skips gracefully (exit 0, {"skipped": ...}) if either is missing.
+Requires mujoco + the reference checkout at /root/reference (override with
+REFERENCE_ROOT). Skips gracefully (exit 0, {"skipped": ...}) if missing.
 """
 
 from __future__ import annotations
@@ -38,6 +41,9 @@ ASSET_DIR = os.path.join(REFERENCE_ROOT, "src/env/robotics/assets/locobot")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+CHAIN_ROBOTS = ("sawyer", "widowx", "baxter", "baxter_right", "franka",
+                "kuka", "fetch", "wx250s")
+
 
 def _mat_to_quat_wxyz(R):
     """Rotation matrix -> unit quaternion (w, x, y, z)."""
@@ -52,10 +58,19 @@ def _mat_to_quat_wxyz(R):
     return q / np.linalg.norm(q)
 
 
+def _set_opencv_camera(mujoco, model, cam_name, cam_ext):
+    """set_opencv_camera_pose semantics (base_mask_env.py:8-22):
+    R_mj = R_cv @ Rot180y; quaternion stored wxyz."""
+    cid = mujoco.mj_name2id(model, mujoco.mjtObj.mjOBJ_CAMERA, cam_name)
+    R = cam_ext[:3, :3] @ np.diag([-1.0, 1.0, -1.0])
+    model.cam_pos[cid] = cam_ext[:3, 3]
+    model.cam_quat[cid] = _mat_to_quat_wxyz(R)
+
+
 class MujocoMaskOracle:
-    """Reference-faithful mask renders from the reference MJCF under
-    mujoco 3 (the reference used mujoco_py; geometry/camera math is the
-    same engine)."""
+    """Reference-faithful locobot mask renders from the reference MJCF
+    under mujoco 3 (the reference used mujoco_py; geometry/camera math is
+    the same engine)."""
 
     def __init__(self, thick: bool, cam_ext: np.ndarray, h=48, w=64):
         import mujoco
@@ -65,12 +80,7 @@ class MujocoMaskOracle:
         self.model = mujoco.MjModel.from_xml_path(os.path.join(ASSET_DIR, xml))
         self.data = mujoco.MjData(self.model)
         self.h, self.w = h, w
-        # set_opencv_camera_pose semantics (base_mask_env.py:8-22):
-        # R_mj = R_cv * Rot180y; quaternion stored wxyz
-        cid = mujoco.mj_name2id(self.model, mujoco.mjtObj.mjOBJ_CAMERA, "main_cam")
-        R = cam_ext[:3, :3] @ np.diag([-1.0, 1.0, -1.0])
-        self.model.cam_pos[cid] = cam_ext[:3, 3]
-        self.model.cam_quat[cid] = _mat_to_quat_wxyz(R)
+        _set_opencv_camera(mujoco, self.model, "main_cam", cam_ext)
         self.joint_adr = []
         for i in range(1, 6):
             jid = mujoco.mj_name2id(self.model, mujoco.mjtObj.mjOBJ_JOINT, f"joint_{i}")
@@ -99,6 +109,60 @@ class MujocoMaskOracle:
         # columns (base_mask_env.py:37 `out[:, ::-1]`) — net effect vs the
         # top-down mujoco.Renderer output is a 180 deg image rotation.
         return mask[::-1, ::-1]
+
+
+class ChainMaskOracle:
+    """Per-robot MuJoCo segmentation oracle for the chain arms: reference
+    MJCF + measured camera + the exact `_is_robot_geom` name filter of
+    each reference mask env (e.g. sawyer_mask_env.py:135-148)."""
+
+    def __init__(self, robot: str, cam_ext: np.ndarray, h: int, w: int):
+        import mujoco
+
+        from benchmarks.extract_chain_geometry import SPECS, load_model
+
+        self.mujoco = mujoco
+        xml, joints, geom_ok, _ = SPECS[robot]
+        self.model = load_model(xml)
+        self.data = mujoco.MjData(self.model)
+        self.h, self.w = h, w
+        _set_opencv_camera(mujoco, self.model, "main_cam", cam_ext)
+        self.joint_adr = []
+        for j in joints:
+            jid = mujoco.mj_name2id(self.model, mujoco.mjtObj.mjOBJ_JOINT, j)
+            self.joint_adr.append(self.model.jnt_qposadr[jid])
+        self.jids = [
+            mujoco.mj_name2id(self.model, mujoco.mjtObj.mjOBJ_JOINT, j)
+            for j in joints
+        ]
+        ok_ids = []
+        for g in range(self.model.ngeom):
+            name = mujoco.mj_id2name(self.model, mujoco.mjtObj.mjOBJ_GEOM, g)
+            if geom_ok is None:
+                ok_ids.append(g)  # thick env: all geoms (wx250s)
+            elif name is not None and geom_ok(name):
+                ok_ids.append(g)
+        self.ok_ids = np.asarray(ok_ids)
+        self.renderer = mujoco.Renderer(self.model, height=h, width=w)
+        self.renderer.enable_segmentation_rendering()
+
+    def forward(self, qpos):
+        self.data.qpos[:] = 0.0
+        for adr, q in zip(self.joint_adr, qpos):
+            self.data.qpos[adr] = q
+        self.mujoco.mj_forward(self.model, self.data)
+
+    def mask(self, qpos: np.ndarray) -> np.ndarray:
+        self.forward(qpos)
+        self.renderer.update_scene(self.data, camera="main_cam")
+        seg = self.renderer.render()
+        m = np.isin(seg[..., 0], self.ok_ids) & (seg[..., 1] >= 0)
+        return m[::-1, ::-1]
+
+    def fk_anchors(self, qpos) -> np.ndarray:
+        """MuJoCo joint anchor positions — ground truth for the POE FK."""
+        self.forward(qpos)
+        return np.array([self.data.xanchor[j] for j in self.jids])
 
 
 def iou(a, b):
@@ -149,10 +213,171 @@ def capsule_masks(qpos, thick, radii=None, base_radii=None):
     return np.asarray(r.render(qpos))[..., 0] > 0.5
 
 
+def run_locobot(args, results):
+    from robot_aware_control_tpu.data import calibration as calib
+
+    # the reference mask model uses the locobot_modified_c0 rig for its
+    # analytical model (locobot_model.py:32); the planner's renderer keys
+    # locobot_c0 — both are the same physical rig up to the hand-tuned
+    # offsets, so measure against the key the planner actually uses.
+    cam_ext = calib.get_camera_to_world("locobot_c0")
+    qpos = sweep_qpos(args.grid)
+    print(f"locobot: {len(qpos)} IK-valid sweep poses")
+
+    for thick in (False, True):
+        oracle = MujocoMaskOracle(thick, cam_ext)
+        mj = np.stack([oracle.mask(q) for q in qpos])
+        caps = capsule_masks(qpos, thick)
+        ious = [iou(a, b) for a, b in zip(mj, caps)]
+        results["locobot_thick" if thick else "locobot"] = {
+            "mean_iou": float(np.mean(ious)),
+            "min_iou": float(np.min(ious)),
+            "median_iou": float(np.median(ious)),
+            "mj_mean_px": float(mj.sum(axis=(1, 2)).mean()),
+            "capsule_mean_px": float(caps.sum(axis=(1, 2)).mean()),
+            "n": len(ious),
+        }
+
+
+def chain_qpos_samples(robot: str, n: int, frac: float = 0.6,
+                       oracle=None, min_px: int = 40):
+    """Seeded uniform joint draws within the central `frac` of each MJCF
+    joint range — a stand-in for dataset qpos distributions. When an
+    oracle is given, rejection-sample configurations the calibrated
+    camera actually sees (>= min_px robot pixels): dataset trajectories
+    stay inside the camera's workspace by construction, and mask fidelity
+    only matters for visible configurations."""
+    from robot_aware_control_tpu.robot.kinematic_chain import CHAINS
+
+    chain = CHAINS[robot]
+    rng = np.random.RandomState(0)
+    lo = chain.jnt_range[:, 0]
+    hi = chain.jnt_range[:, 1]
+    mid = 0.5 * (lo + hi)
+    span = 0.5 * (hi - lo) * frac
+
+    def draw(k):
+        return (mid + rng.uniform(-1.0, 1.0, (k, chain.dof)) * span).astype(
+            np.float32
+        )
+
+    if oracle is None:
+        return draw(n)
+    out, tries = [], 0
+    while len(out) < n and tries < 40 * n:
+        q = draw(1)[0]
+        tries += 1
+        if oracle.mask(q).sum() >= min_px:
+            out.append(q)
+    return np.asarray(out, np.float32)
+
+
+def run_chain_robot(robot: str, args, results, tuned):
+    import jax.numpy as jnp
+
+    from robot_aware_control_tpu.data import calibration as calib
+    from robot_aware_control_tpu.robot import kinematic_chain as kc
+
+    cam_key = kc.DEFAULT_CAMERA[robot]
+    cam_ext = calib.get_camera_to_world(cam_key)
+    w, h = kc.CHAIN_DATA[robot]["native_size"]
+    oracle = ChainMaskOracle(robot, cam_ext, h, w)
+    qpos = chain_qpos_samples(robot, args.n, oracle=oracle)
+    if len(qpos) == 0:
+        results[robot] = {"skipped": "no camera-visible configurations"}
+        print(robot, "skipped: no visible configs")
+        return
+
+    # POE FK parity vs MuJoCo joint anchors
+    chain = kc.CHAINS[robot]
+    fk_err = []
+    for q in qpos[: min(len(qpos), 16)]:
+        mine = np.asarray(chain.fk_frames(jnp.asarray(q))[0])
+        ref = oracle.fk_anchors(q)
+        fk_err.append(np.abs(mine - ref).max())
+    fk_err = float(np.max(fk_err))
+
+    mj = np.stack([oracle.mask(q) for q in qpos])
+
+    base_robot = "baxter" if robot == "baxter_right" else robot
+    arm = "right" if robot == "baxter_right" else "left"
+
+    def render(radii=None):
+        env = kc.ChainMaskEnv(base_robot, image_size=(h, w), arm=arm)
+        if radii is not None:
+            env.radii = jnp.asarray(radii, jnp.float32)
+            env._render = __import__("jax").jit(env._render_impl)
+        return np.asarray(env.generate_masks(qpos))[..., 0] > 0.5
+
+    caps = render()
+    ious = [iou(a, b) for a, b in zip(mj, caps)]
+    entry = {
+        "mean_iou": float(np.mean(ious)),
+        "min_iou": float(np.min(ious)),
+        "median_iou": float(np.median(ious)),
+        "fk_max_err_m": fk_err,
+        "mj_mean_px": float(mj.sum(axis=(1, 2)).mean()),
+        "capsule_mean_px": float(caps.sum(axis=(1, 2)).mean()),
+        "n": len(ious),
+        "camera": cam_key,
+        "size": [h, w],
+    }
+
+    if args.tune:
+        radii = np.asarray(
+            kc.TUNED_RADII.get(robot, kc.CHAIN_DATA[robot]["caps_r"]),
+            np.float32,
+        ).copy()
+
+        def score(r):
+            c = render(r)
+            return float(np.mean([iou(a, b) for a, b in zip(mj, c)]))
+
+        best = score(radii)
+        # global scale first, then per-capsule coordinate descent
+        for s in (0.8, 0.9, 1.1, 1.2, 1.35):
+            v = score(radii * s)
+            if v > best:
+                best, radii = v, radii * s
+        for _ in range(args.tune_rounds):
+            improved = False
+            for i in range(len(radii)):
+                for d in (-0.02, -0.01, -0.005, 0.005, 0.01, 0.02):
+                    r2 = radii.copy()
+                    r2[i] = max(0.004, r2[i] + d)
+                    v = score(r2)
+                    if v > best + 1e-5:
+                        best, radii, improved = v, r2, True
+            if not improved:
+                break
+        entry["tuned_iou"] = best
+        tuned[robot] = [round(float(x), 4) for x in radii]
+    results[robot] = entry
+    print(robot, json.dumps(entry))
+
+
+def write_tuned(tuned, path):
+    lines = [
+        '"""Capsule radii tuned against MuJoCo segmentation renders',
+        '(GENERATED — benchmarks/mask_fidelity.py --tune)."""',
+        "",
+        "TUNED_RADII = {",
+    ]
+    for k, v in sorted(tuned.items()):
+        lines.append(f"    {k!r}: {v},")
+    lines.append("}")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote", path)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--grid", type=int, default=7)
+    ap.add_argument("--n", type=int, default=40)
+    ap.add_argument("--robots", default="all")
     ap.add_argument("--tune", action="store_true")
+    ap.add_argument("--tune-rounds", type=int, default=3)
     ap.add_argument("--out", default="benchmarks/mask_fidelity.json")
     args = ap.parse_args()
 
@@ -166,57 +391,43 @@ def main():
         print(json.dumps({"skipped": f"mujoco unavailable: {e}"}))
         return
 
-    from robot_aware_control_tpu.data import calibration as calib
+    import jax
 
-    # the reference mask model uses the locobot_modified_c0 rig for its
-    # analytical model (locobot_model.py:32); the planner's renderer keys
-    # locobot_c0 — both are the same physical rig up to the hand-tuned
-    # offsets, so measure against the key the planner actually uses.
-    cam_ext = calib.get_camera_to_world("locobot_c0")
-    qpos = sweep_qpos(args.grid)
-    print(f"{len(qpos)} IK-valid sweep poses")
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass
 
-    results = {}
-    for thick in (False, True):
-        oracle = MujocoMaskOracle(thick, cam_ext)
-        mj = np.stack([oracle.mask(q) for q in qpos])
-        caps = capsule_masks(qpos, thick)
-        ious = [iou(a, b) for a, b in zip(mj, caps)]
-        results["thick" if thick else "thin"] = {
-            "mean_iou": float(np.mean(ious)),
-            "min_iou": float(np.min(ious)),
-            "median_iou": float(np.median(ious)),
-            "mj_mean_px": float(mj.sum(axis=(1, 2)).mean()),
-            "capsule_mean_px": float(caps.sum(axis=(1, 2)).mean()),
-            "n": len(ious),
-        }
-        if args.tune:
-            import robot_aware_control_tpu.robot.mask_renderer as mr
+    robots = (
+        ("locobot",) + CHAIN_ROBOTS
+        if args.robots == "all"
+        else tuple(args.robots.split(","))
+    )
+    results, tuned = {}, {}
+    for robot in robots:
+        if robot == "locobot":
+            run_locobot(args, results)
+        else:
+            run_chain_robot(robot, args, results, tuned)
 
-            arm = np.array(mr.LOCOBOT_RADII, np.float32)
-            base_r = np.array(mr.LOCOBOT_BASE_RADII, np.float32)
+    if args.tune and tuned:
+        from robot_aware_control_tpu.robot import kinematic_chain as kc
 
-            def score(a_r, b_r):
-                c = capsule_masks(qpos, thick, radii=a_r, base_radii=b_r)
-                return np.mean([iou(a, b) for a, b in zip(mj, c)])
-
-            best = score(arm, base_r)
-            for _ in range(3):
-                for i in range(len(arm) + len(base_r)):
-                    for d in (-0.02, -0.01, -0.005, 0.005, 0.01, 0.02):
-                        ca, cb = arm.copy(), base_r.copy()
-                        if i < len(arm):
-                            ca[i] = max(0.005, ca[i] + d)
-                        else:
-                            cb[i - len(arm)] = max(0.005, cb[i - len(arm)] + d)
-                        s = score(ca, cb)
-                        if s > best:
-                            best, arm, base_r = s, ca, cb
-            key = "thick" if thick else "thin"
-            results[key]["tuned_iou"] = float(best)
-            results[key]["tuned_arm_radii"] = [float(x) for x in arm]
-            results[key]["tuned_base_radii"] = [float(x) for x in base_r]
+        merged = dict(kc.TUNED_RADII)
+        merged.update(tuned)
+        write_tuned(
+            merged,
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "robot_aware_control_tpu/robot/_chain_tuned.py",
+            ),
+        )
     print(json.dumps(results, indent=2))
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            old = json.load(f)
+        old.update(results)
+        results = old
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
 

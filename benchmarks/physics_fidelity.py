@@ -57,8 +57,11 @@ class MujocoTableOracle:
             jid = mj.mj_name2id(m, mj.mjtObj.mjOBJ_JOINT, f"joint_{i}")
             self.jq.append(m.jnt_qposadr[jid])
             self.jd.append(m.jnt_dofadr[jid])
-        oid = mj.mj_name2id(m, mj.mjtObj.mjOBJ_JOINT, "object0:joint")
-        self.obj_adr = m.jnt_qposadr[oid]
+        self.obj_adrs = []
+        for k in range(3):
+            oid = mj.mj_name2id(m, mj.mjtObj.mjOBJ_JOINT, f"object{k}:joint")
+            self.obj_adrs.append(m.jnt_qposadr[oid])
+        self.obj_adr = self.obj_adrs[0]
         self.grip_bid = mj.mj_name2id(m, mj.mjtObj.mjOBJ_BODY, "finger_r")
 
     # -- reference helpers ------------------------------------------------
@@ -81,26 +84,35 @@ class MujocoTableOracle:
     def grip_pos(self):
         return self.data.xpos[self.grip_bid].copy()
 
-    def reset(self, obj_xy, eef_target):
+    def reset(self, obj_xys, eef_target):
+        """obj_xys: (K<=3, 2) scenario object poses; unused objects park
+        out of the workspace."""
         mj, m, d = self.mujoco, self.model, self.data
+        obj_xys = np.atleast_2d(np.asarray(obj_xys, float))
         mj.mj_resetData(m, d)
         for adr, q in zip(self.jq, self.ROBOT_ABOVE_QPOS):
             d.qpos[adr] = q
         mj.mj_forward(m, d)
         self._reset_mocap_welds()
         self._reset_mocap2body()
-        # park the object clear of the arm's approach path, drive the eef
+        # park the objects clear of the arm's approach path, drive the eef
         # to the start pose (reference _move, locobot_table_env.py:159-166),
-        # then teleport the object to its scenario pose and settle
-        d.qpos[self.obj_adr : self.obj_adr + 3] = [0.45, -0.15, 0.075]
+        # then teleport the objects to their scenario poses and settle
+        for i, adr in enumerate(self.obj_adrs):
+            d.qpos[adr : adr + 3] = [0.45, -0.25 + 0.07 * i, 0.075]
         mj.mj_forward(m, d)
         for _ in range(100):
             err = eef_target - self.grip_pos()
             if np.linalg.norm(err) < 0.01:
                 break
             self.step(err / 0.05, clip_ws=False)
-        d.qpos[self.obj_adr : self.obj_adr + 3] = [*obj_xy, 0.075]
-        d.qpos[self.obj_adr + 3 : self.obj_adr + 7] = [1, 0, 0, 0]
+        for i, adr in enumerate(self.obj_adrs):
+            if i < len(obj_xys):
+                d.qpos[adr : adr + 3] = [*obj_xys[i], 0.075]
+            else:
+                d.qpos[adr : adr + 3] = [0.45, -0.25 + 0.07 * i, 0.075]
+            d.qpos[adr + 3 : adr + 7] = [1, 0, 0, 0]
+        self.n_obj = len(obj_xys)
         d.qvel[:] = 0
         mj.mj_forward(m, d)
 
@@ -120,11 +132,15 @@ class MujocoTableOracle:
         d.qfrc_applied[self.jd] = d.qfrc_bias[self.jd]
         mj.mj_step(m, d, nstep=20)
 
-    def obj_xy(self):
-        return self.data.qpos[self.obj_adr : self.obj_adr + 2].copy()
+    def obj_xy(self, k=0):
+        adr = self.obj_adrs[k]
+        return self.data.qpos[adr : adr + 2].copy()
+
+    def obj_xys(self):
+        return np.stack([self.obj_xy(k) for k in range(self.n_obj)])
 
 
-def analytic_rollout(eef0, obj_xy, actions):
+def analytic_rollout(eef0, obj_xys, actions):
     import jax
 
     try:
@@ -135,40 +151,90 @@ def analytic_rollout(eef0, obj_xy, actions):
 
     from robot_aware_control_tpu.envs import base as eb
 
+    obj_xys = np.atleast_2d(np.asarray(obj_xys, np.float32))
     # same planar geometry; our table lives at TABLE_Z=0.1 so shift z only
     z = eb.TABLE_Z + 0.02
+    K = len(obj_xys)
     state = eb.SimState(
         eef=jnp.asarray([eef0[0], eef0[1], z], jnp.float32),
         qpos=jnp.zeros(5, jnp.float32),
-        obj_pos=jnp.asarray([[obj_xy[0], obj_xy[1], z]], jnp.float32),
+        obj_pos=jnp.concatenate(
+            [jnp.asarray(obj_xys), jnp.full((K, 1), z, jnp.float32)], -1
+        ),
         gripper=jnp.asarray(1.0, jnp.float32),
-        attached=jnp.zeros(1, jnp.float32),
+        attached=jnp.zeros(K, jnp.float32),
     )
     traj = []
     for a in actions:
         state = eb.physics_step(
             state, jnp.asarray([a[0], a[1], 0.0], jnp.float32)
         )
-        traj.append(np.asarray(state.obj_pos[0, :2]))
-    return np.stack(traj)
+        traj.append(np.asarray(state.obj_pos[:, :2]))
+    return np.stack(traj)  # (T, K, 2)
 
 
+# 20 scenarios spanning speeds, contact angles, sides, stop-and-go,
+# direction changes and two-object contact (VERDICT r2 weak #3: bound the
+# fit beyond the original 5). Reference stepping behavior:
+# locobot_table_env.py:186-256.
 SCENARIOS = {
     # head-on push +x through the object
-    "head_on_x": {"obj": [0.32, 0.0], "eef": [0.24, 0.0, 0.07],
+    "head_on_x": {"obj": [[0.32, 0.0]], "eef": [0.24, 0.0, 0.07],
                   "actions": [[1, 0]] * 6},
     # push +y
-    "head_on_y": {"obj": [0.3, 0.06], "eef": [0.3, -0.02, 0.07],
+    "head_on_y": {"obj": [[0.3, 0.06]], "eef": [0.3, -0.02, 0.07],
                   "actions": [[0, 1]] * 6},
+    # push -x (approach from the far side)
+    "head_on_neg_x": {"obj": [[0.3, 0.0]], "eef": [0.38, 0.0, 0.07],
+                      "actions": [[-1, 0]] * 6},
+    # push -y
+    "head_on_neg_y": {"obj": [[0.3, -0.06]], "eef": [0.3, 0.02, 0.07],
+                      "actions": [[0, -1]] * 6},
     # glancing contact (eef offset from object center line)
-    "glancing": {"obj": [0.32, 0.025], "eef": [0.24, 0.0, 0.07],
+    "glancing": {"obj": [[0.32, 0.025]], "eef": [0.24, 0.0, 0.07],
                  "actions": [[1, 0]] * 6},
-    # diagonal push
-    "diagonal": {"obj": [0.31, 0.03], "eef": [0.26, -0.02, 0.07],
+    "glancing_far": {"obj": [[0.32, 0.04]], "eef": [0.24, 0.0, 0.07],
+                     "actions": [[1, 0]] * 6},
+    # diagonal pushes at different angles
+    "diagonal": {"obj": [[0.31, 0.03]], "eef": [0.26, -0.02, 0.07],
                  "actions": [[0.7, 0.7]] * 6},
+    "angle_30": {"obj": [[0.32, 0.03]], "eef": [0.25, -0.01, 0.07],
+                 "actions": [[0.87, 0.5]] * 6},
+    "angle_60": {"obj": [[0.3, 0.05]], "eef": [0.26, -0.02, 0.07],
+                 "actions": [[0.5, 0.87]] * 6},
+    # slow pushes (half / quarter speed)
+    "slow_half": {"obj": [[0.32, 0.0]], "eef": [0.26, 0.0, 0.07],
+                  "actions": [[0.5, 0]] * 10},
+    "slow_quarter": {"obj": [[0.31, 0.0]], "eef": [0.27, 0.0, 0.07],
+                     "actions": [[0.25, 0]] * 12},
+    # short tap then stop
+    "tap_and_stop": {"obj": [[0.3, 0.0]], "eef": [0.26, 0.0, 0.07],
+                     "actions": [[1, 0]] * 2 + [[0, 0]] * 4},
+    # stop-and-go contact
+    "stop_and_go": {"obj": [[0.31, 0.0]], "eef": [0.25, 0.0, 0.07],
+                    "actions": [[1, 0], [0, 0], [1, 0], [0, 0], [1, 0],
+                                [1, 0]]},
+    # push, then change direction mid-trajectory
+    "direction_change": {"obj": [[0.31, 0.0]], "eef": [0.25, 0.0, 0.07],
+                         "actions": [[1, 0]] * 3 + [[0, 1]] * 3},
+    # retreat after contact (object should stay put)
+    "push_retreat": {"obj": [[0.31, 0.0]], "eef": [0.26, 0.0, 0.07],
+                     "actions": [[1, 0]] * 3 + [[-1, 0]] * 3},
+    # long push across the workspace
+    "long_push": {"obj": [[0.28, 0.0]], "eef": [0.22, 0.0, 0.07],
+                  "actions": [[1, 0]] * 10},
     # miss: eef passes clear of the object -> zero displacement expected
-    "miss": {"obj": [0.32, 0.12], "eef": [0.24, 0.0, 0.07],
+    "miss": {"obj": [[0.32, 0.12]], "eef": [0.24, 0.0, 0.07],
              "actions": [[1, 0]] * 6},
+    "miss_near": {"obj": [[0.32, 0.085]], "eef": [0.24, 0.0, 0.07],
+                  "actions": [[1, 0]] * 6},
+    # two objects side by side, push one into the other's lane
+    "two_obj_row": {"obj": [[0.31, 0.0], [0.38, 0.0]],
+                    "eef": [0.25, 0.0, 0.07], "actions": [[1, 0]] * 8},
+    # two objects, one bystander off the push line (should not move)
+    "two_obj_bystander": {"obj": [[0.31, 0.0], [0.31, 0.1]],
+                          "eef": [0.25, 0.0, 0.07],
+                          "actions": [[1, 0]] * 6},
 }
 
 
@@ -191,30 +257,38 @@ def main():
     results = {}
     errs, ratios = [], []
     for name, sc in SCENARIOS.items():
-        oracle.reset(np.array(sc["obj"]), np.array(sc["eef"]))
-        start = oracle.obj_xy()
+        objs = np.atleast_2d(np.asarray(sc["obj"], float))
+        oracle.reset(objs, np.array(sc["eef"]))
+        start = oracle.obj_xys()
         mj_traj = []
         for a in sc["actions"]:
             oracle.step([a[0], a[1], 0.0])
-            mj_traj.append(oracle.obj_xy() - start)
-        mj_traj = np.stack(mj_traj)
-        an_traj = analytic_rollout(sc["eef"], sc["obj"], sc["actions"])
-        an_traj = an_traj - np.array(sc["obj"])
-        err = np.abs(mj_traj - an_traj).max(-1)
-        mj_final = float(np.linalg.norm(mj_traj[-1]))
-        an_final = float(np.linalg.norm(an_traj[-1]))
+            mj_traj.append(oracle.obj_xys() - start)
+        mj_traj = np.stack(mj_traj)              # (T, K, 2)
+        an_traj = analytic_rollout(sc["eef"], objs, sc["actions"])
+        an_traj = an_traj - objs[None]           # (T, K, 2)
+        err = np.abs(mj_traj - an_traj).max(-1)  # (T, K)
+        mj_final = np.linalg.norm(mj_traj[-1], axis=-1)   # (K,)
+        an_final = np.linalg.norm(an_traj[-1], axis=-1)
         results[name] = {
-            "mj_disp": [[float(x) for x in r] for r in mj_traj],
-            "analytic_disp": [[float(x) for x in r] for r in an_traj],
+            "mj_disp": mj_traj.tolist(),
+            "analytic_disp": an_traj.tolist(),
             "max_step_err_m": float(err.max()),
-            "mj_final_disp_m": mj_final,
-            "analytic_final_disp_m": an_final,
+            "mj_final_disp_m": mj_final.tolist(),
+            "analytic_final_disp_m": an_final.tolist(),
         }
         errs.append(float(err.max()))
-        if mj_final > 5e-3:
-            ratios.append(an_final / mj_final)
+        for k in range(len(objs)):
+            if mj_final[k] > 5e-3:
+                ratios.append(float(an_final[k] / mj_final[k]))
+    errs_np = np.asarray(errs)
     results["summary"] = {
-        "max_abs_err_m": max(errs),
+        "max_abs_err_m": float(errs_np.max()),
+        "p90_err_m": float(np.percentile(errs_np, 90)),
+        "median_err_m": float(np.median(errs_np)),
+        "per_scenario_max_err_m": {
+            n: results[n]["max_step_err_m"] for n in SCENARIOS
+        },
         "mean_final_ratio": float(np.mean(ratios)) if ratios else None,
         "n_scenarios": len(SCENARIOS),
     }

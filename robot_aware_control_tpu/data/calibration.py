@@ -142,6 +142,23 @@ _MEASURED_CAMERA_TO_WORLD = {
         [0.99834883, -0.0526833, 0.02289275, -0.018],
         [-0.01284041, -0.59312888, -0.80500513, 0.58407623],
     ],
+    # kuka renders through the sawyer_sudri0_c0 rig (reference:
+    # src/env/robotics/masks/kuka_mask_env.py:113-121 — same matrix)
+    "kuka_c0": [
+        [-0.01290487, 0.62117762, -0.78356355, 1.21061856],
+        [1.0, 0.00660994, -0.01122798, 0.01680913],
+        [-0.00179526, -0.78364193, -0.62121019, 0.47401633],
+    ],
+    # fetch viewpoint (reference: src/env/robotics/masks/
+    # fetch_mask_env.py:171-185; that main skips the OpenCV->MuJoCo flip
+    # and its XML ships no main_cam, so the reference fetch path cannot
+    # actually render — we treat the matrix as OpenCV-convention
+    # camera_to_world, which points the camera at the robot)
+    "fetch_c0": [
+        [-0.00715332, 0.65439626, -0.75611796, 1.13910297],
+        [0.9996319, 0.02446862, 0.01171972, 0.34967541],
+        [0.0261705, -0.7557558, -0.65433041, 0.28774818],
+    ],
 }
 # locobot_c1..c3 share locobot_c0's rig (reference: camera_calibration.py:111-135)
 for _i in (1, 2, 3):

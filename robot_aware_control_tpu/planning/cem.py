@@ -153,10 +153,14 @@ class CEMPolicy:
         state_norm = normalize(
             state_raw, LOCOBOT_LOW[: len(state_raw)], LOCOBOT_HIGH[: len(state_raw)]
         )
-        qpos = np.zeros(5, np.float32)
+        # qpos dimensionality follows the experiment's robot model
+        # (locobot 5; franka 7 / wx250s 6 via their measured chains —
+        # reference analog: trajectory_sampler.py:27-33)
+        qd = self.engine.qpos_dim
+        qpos = np.zeros(qd, np.float32)
         if start.qpos is not None:
             q = np.asarray(start.qpos, np.float32).ravel()
-            qpos[: min(5, len(q))] = q[:5]
+            qpos[: min(qd, len(q))] = q[:qd]
         goal_imgs, goal_masks, goal_states = self.traj_sampler.prepare_goals(
             goal, T - 1
         )

@@ -88,6 +88,32 @@ class RolloutEngine:
             size, camera_key, thick=True, modified=cfg.modified
         )
         self.use_robot = _needs_robot_model(cfg)
+        # control_franka / control_wx250s plan with the robot's OWN measured
+        # chain + mask env instead of the locobot renderer (reference:
+        # trajectory_sampler.py:27-33 picks FrankaAnalyticalModel /
+        # WX250sAnalyticalModel, whose mask envs load the franka/wx250s
+        # MJCFs — src/dataset/franka/franka_model.py:23,
+        # src/dataset/wx250s/wx250s_model.py:23). States stay in the
+        # locobot frame for normalization (trajectory_sampler.py:94-98).
+        self.qpos_dim = 5
+        self.chain_robot = {
+            "control_franka": "franka", "control_wx250s": "wx250s"
+        }.get(cfg.experiment)
+        if self.chain_robot is not None and not pick:
+            from robot_aware_control_tpu.robot.kinematic_chain import (
+                ChainMaskEnv,
+            )
+
+            shift = (LOCO_FRANKA_DIFF if self.chain_robot == "franka"
+                     else LOCO_WX250S_DIFF)
+            self.chain_env = ChainMaskEnv(
+                self.chain_robot, image_size=size, thick=True
+            )
+            self.chain = self.chain_env.chain
+            self.chain_shift = jnp.asarray(shift, jnp.float32)
+            self.qpos_dim = self.chain.dof
+        else:
+            self.chain_robot = None
         self.dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         # the pallas mask kernel is ~2x the fused-jnp path on TPU
         # (ops/pallas_kernels.py); fall back to jnp elsewhere
@@ -100,11 +126,13 @@ class RolloutEngine:
         """IK + mask render for all candidates/steps in one fused block
         (replaces reference trajectory_sampler.py:86-107).
 
-        start_state_norm (5,), start_qpos (>=5,), actions_tna (T, N, >=2).
-        Returns (states_norm (T+1,N,rd), states_raw (T+1,N,5),
-        masks (T+1,N,h,w,1))."""
+        start_state_norm (5,), start_qpos (>=qpos_dim,), actions_tna
+        (T, N, >=2). Returns (states_norm (T+1,N,rd),
+        states_raw (T+1,N,5), masks (T+1,N,h,w,1))."""
         N = actions_tna.shape[1]
         start_raw = denormalize(start_state_norm, self.low, self.high)
+        if self.chain_robot is not None:
+            return self._chain_trajectory(start_raw, start_qpos, actions_tna)
         start_raw_n = jnp.broadcast_to(start_raw, (N,) + start_raw.shape)
         qpos_n = jnp.broadcast_to(
             start_qpos[:5], (N, 5)
@@ -127,6 +155,10 @@ class RolloutEngine:
             masks = self.renderer_thick.render_pallas(qpos)
         else:
             masks = self.renderer_thick.render(qpos)
+        states_norm = self._norm_to_robot_dim(states_raw)
+        return states_norm, states_raw, masks
+
+    def _norm_to_robot_dim(self, states_raw):
         states_norm = normalize(states_raw, self.low[None], self.high[None])
         # pad/truncate to the model's robot_dim, mirroring the data layer
         # (reference: robonet_dataset.py:209-223 pads states to robot_dim)
@@ -137,7 +169,42 @@ class RolloutEngine:
             states_norm = jnp.concatenate([states_norm, pad], -1)
         elif states_norm.shape[-1] > rd:
             states_norm = states_norm[..., :rd]
-        return states_norm, states_raw, masks
+        return states_norm
+
+    def _chain_trajectory(self, start_raw, start_qpos, actions_tna):
+        """franka/wx250s rollout block: planar eef integration in the
+        locobot frame (model/normalization frame, reference:
+        trajectory_sampler.py:94-98), warm-started chain DLS IK and the
+        measured chain mask env in the robot's NATIVE frame (reference
+        analog: franka_model.py/wx250s_model.py predict_batch driving
+        their MJCF mask envs). The frame shift is xy-only
+        (LOCO_*_DIFF, src/utils/camera_calibration.py)."""
+        N = actions_tna.shape[1]
+        planar = actions_tna[..., :2] * self.cfg.eef_action_scale
+        xy0 = jnp.broadcast_to(start_raw[:2], (N, 2))
+        xy = jnp.concatenate(
+            [xy0[None], xy0[None] + jnp.cumsum(planar, 0)], 0
+        )  # (T+1, N, 2) locobot frame
+        native_xy = xy - self.chain_shift
+        targets = jnp.concatenate(
+            [native_xy,
+             jnp.full(native_xy.shape[:-1] + (1,), self.push_height,
+                      jnp.float32)], -1,
+        )
+        q0 = jnp.broadcast_to(
+            start_qpos[: self.chain.dof], (N, self.chain.dof)
+        ).astype(jnp.float32)
+
+        def step(q_prev, tgt):
+            q, _ = self.chain.ik(tgt, q_prev, iters=20)
+            return q, q
+
+        _, qs = jax.lax.scan(step, q0, targets)  # (T+1, N, dof)
+        masks = self.chain_env._render_impl(qs)
+        z = jnp.full(xy.shape[:-1] + (1,), self.push_height, jnp.float32)
+        pad = jnp.zeros(xy.shape[:-1] + (2,), jnp.float32)
+        states_raw = jnp.concatenate([xy, z, pad], -1)  # locobot frame
+        return self._norm_to_robot_dim(states_raw), states_raw, masks
 
     # ------------------------------------------------------------------
     def __call__(self, params, bn, start_img, start_state_norm, start_qpos,
@@ -325,10 +392,11 @@ class TrajectorySampler:
         state_raw = self._frame_shift(start.state)
         state_norm = normalize(state_raw, LOCOBOT_LOW[: len(state_raw)],
                                LOCOBOT_HIGH[: len(state_raw)])
-        qpos = np.zeros(5, np.float32)
+        qd = self.engine.qpos_dim
+        qpos = np.zeros(qd, np.float32)
         if start.qpos is not None:
             q = np.asarray(start.qpos, np.float32).ravel()
-            qpos[: min(5, len(q))] = q[:5]
+            qpos[: min(qd, len(q))] = q[:qd]
         goal_imgs, goal_masks, goal_states = self.prepare_goals(goal, T)
         if rng is None:
             rng = jax.random.PRNGKey(cfg.seed)

@@ -1,4 +1,4 @@
-"""Generic serial-arm kinematic chains + per-robot capsule mask envs.
+"""Measured serial-arm kinematic chains + per-robot capsule mask envs.
 
 The reference renders robot segmentation masks by loading each robot's MJCF
 into MuJoCo and reading segmentation images (reference:
@@ -6,20 +6,24 @@ src/env/robotics/masks/base_mask_env.py:8-82 and the per-robot mask envs
 sawyer_mask_env.py:21-80, baxter_mask_env.py, widowx_mask_env.py,
 franka_mask_env.py, kuka_mask_env.py, fetch_mask_env.py,
 wx250s_mask_env.py — ~1,660 LoC + meshes). TPU-native redesign: each robot
-is a serial chain of revolute joints (fixed link offset + joint axis); FK
-is a batched jnp scan of 4x4 transforms and the silhouette is the union of
-capsules between consecutive joint origins, projected through the
-calibrated camera — the same formulation as the locobot renderer
-(robot/mask_renderer.py) generalized to arbitrary chains.
+is a product-of-exponentials chain *measured from the reference MJCF*
+(zero-pose world joint anchors/axes + one fitted capsule per robot geom —
+see benchmarks/extract_chain_geometry.py and robot/_chain_data.py); FK is
+a short unrolled jnp product of rotations, the silhouette is the union of
+those capsules rigidly attached to their driven-joint frames, projected
+through the *measured* camera extrinsics the reference ships
+(src/utils/camera_calibration.py via data/calibration.py) with the MJCF
+main_cam's fovy intrinsics (e.g. sawyer/robot.xml:34, fovy=43.3).
 
-Link geometry uses nominal published arm dimensions; capsule radii
-approximate link thickness. `generate_masks(qpos)` matches the reference
-MaskEnv API (base_mask_env.py:73-82) but is batched and traceable.
+`generate_masks(qpos)` matches the reference MaskEnv API
+(base_mask_env.py:73-82) but is batched, jit-compiled, and differentiable.
+Fidelity vs MuJoCo segmentation renders is quantified per robot by
+benchmarks/mask_fidelity.py (IoU table in RESULTS.md).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -27,6 +31,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from robot_aware_control_tpu.data import calibration as calib
+from robot_aware_control_tpu.robot._chain_data import CHAIN_DATA
+
+try:  # radii tuned against MuJoCo segmentation renders (mask_fidelity.py)
+    from robot_aware_control_tpu.robot._chain_tuned import TUNED_RADII
+except ImportError:  # pragma: no cover - tuning not yet run
+    TUNED_RADII = {}
 
 
 def _rot(axis, th):
@@ -43,82 +53,105 @@ def _rot(axis, th):
 
 @dataclass(frozen=True)
 class KinematicChain:
-    """offsets: (L, 3) fixed translation before joint i (in parent frame);
-    axes: (L, 3) unit rotation axes; radii: (L,) capsule radii between
-    joint i and i+1 origins; tip: (3,) offset from the last joint."""
+    """Product-of-exponentials chain from zero-pose measurements.
+
+    anchors: (J, 3) world joint anchor positions at qpos=0;
+    axes: (J, 3) world joint axes at qpos=0; jnt_range: (J, 2);
+    tip: (3,) world eef position at qpos=0 (rides the last joint frame).
+
+    FK recursion (reference semantics: MuJoCo hinge trees,
+    src/env/robotics/assets/*/robot.xml): with R_k = prod_{i<=k}
+    Rot(axis_i, q_i), anchor_k(q) = anchor_{k-1}(q) +
+    R_{k-1} (anchor_k^0 - anchor_{k-1}^0). Evaluating with zero-pose world
+    quantities reproduces MuJoCo FK exactly for any qpos.
+    """
 
     name: str
-    offsets: np.ndarray
+    anchors: np.ndarray
     axes: np.ndarray
-    radii: np.ndarray
+    jnt_range: np.ndarray
     tip: np.ndarray
-    base: np.ndarray  # (3,) world position of the chain base
 
     @property
     def dof(self) -> int:
         return len(self.axes)
 
-    def fk_points(self, qpos):
-        """qpos (..., >=dof) -> (..., dof+2, 3) world joint origins
-        (base + each joint origin + tip)."""
+    def fk_frames(self, qpos):
+        """qpos (..., >=dof) -> (pos (..., J, 3), R (..., J, 3, 3)):
+        world anchor position and cumulative rotation (incl. joint k's own
+        rotation) of every driven joint frame."""
         q = qpos[..., : self.dof]
         batch = q.shape[:-1]
-        pos = jnp.broadcast_to(jnp.asarray(self.base, jnp.float32),
-                               batch + (3,))
-        R = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), batch + (3, 3))
-        pts = [pos]
-        for i in range(self.dof):
-            off = jnp.asarray(self.offsets[i], jnp.float32)
-            pos = pos + jnp.einsum("...ij,j->...i", R, off)
-            R = jnp.einsum("...ij,...jk->...ik", R,
-                           _rot(self.axes[i], q[..., i]))
-            pts.append(pos)
-        tip = pos + jnp.einsum("...ij,j->...i", R,
-                               jnp.asarray(self.tip, jnp.float32))
-        pts.append(tip)
-        return jnp.stack(pts, -2)
+        anchors0 = jnp.asarray(self.anchors, jnp.float32)
+        pos = jnp.broadcast_to(anchors0[0], batch + (3,))
+        R = _rot(tuple(np.asarray(self.axes[0], np.float64)), q[..., 0])
+        ps, Rs = [pos], [R]
+        for i in range(1, self.dof):
+            off = anchors0[i] - anchors0[i - 1]
+            pos = ps[-1] + jnp.einsum("...ij,j->...i", Rs[-1], off)
+            R = jnp.einsum(
+                "...ij,...jk->...ik", Rs[-1],
+                _rot(tuple(np.asarray(self.axes[i], np.float64)), q[..., i]),
+            )
+            ps.append(pos)
+            Rs.append(R)
+        return jnp.stack(ps, -2), jnp.stack(Rs, -3)
+
+    def fk_points(self, qpos):
+        """qpos (..., >=dof) -> (..., dof+2, 3) world points:
+        base anchor + every joint anchor + eef tip."""
+        pos, R = self.fk_frames(qpos)
+        anchors0 = jnp.asarray(self.anchors, jnp.float32)
+        tip0 = jnp.asarray(self.tip, jnp.float32)
+        tip = pos[..., -1, :] + jnp.einsum(
+            "...ij,j->...i", R[..., -1, :, :], tip0 - anchors0[-1]
+        )
+        base = jnp.broadcast_to(anchors0[0], pos[..., :1, :].shape)
+        return jnp.concatenate([base, pos, tip[..., None, :]], -2)
 
     def fk_full(self, qpos):
-        """Like fk_points but also returns world joint axes:
-        (pts (..., dof+2, 3), axes_world (..., dof, 3))."""
+        """(pts (..., dof+2, 3) as fk_points, axes_world (..., dof, 3))."""
         q = qpos[..., : self.dof]
-        batch = q.shape[:-1]
-        pos = jnp.broadcast_to(jnp.asarray(self.base, jnp.float32),
-                               batch + (3,))
-        R = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), batch + (3, 3))
-        pts = [pos]
-        axes_w = []
-        for i in range(self.dof):
-            off = jnp.asarray(self.offsets[i], jnp.float32)
-            pos = pos + jnp.einsum("...ij,j->...i", R, off)
-            ax = jnp.asarray(self.axes[i], jnp.float32)
-            axes_w.append(jnp.einsum("...ij,j->...i", R, ax))
-            R = jnp.einsum("...ij,...jk->...ik", R, _rot(self.axes[i], q[..., i]))
-            pts.append(pos)
-        tip = pos + jnp.einsum("...ij,j->...i", R,
-                               jnp.asarray(self.tip, jnp.float32))
-        pts.append(tip)
-        return jnp.stack(pts, -2), jnp.stack(axes_w, -2)
+        pos, R = self.fk_frames(qpos)
+        anchors0 = jnp.asarray(self.anchors, jnp.float32)
+        axes0 = jnp.asarray(self.axes, jnp.float32)
+        # world axis of joint i rotates with the frames BEFORE it
+        eye = jnp.broadcast_to(
+            jnp.eye(3, dtype=jnp.float32), q.shape[:-1] + (3, 3)
+        )
+        R_prev = jnp.concatenate([eye[..., None, :, :], R[..., :-1, :, :]], -3)
+        axes_w = jnp.einsum("...kij,kj->...ki", R_prev, axes0)
+        tip0 = jnp.asarray(self.tip, jnp.float32)
+        tip = pos[..., -1, :] + jnp.einsum(
+            "...ij,j->...i", R[..., -1, :, :], tip0 - anchors0[-1]
+        )
+        base = jnp.broadcast_to(anchors0[0], pos[..., :1, :].shape)
+        pts = jnp.concatenate([base, pos, tip[..., None, :]], -2)
+        return pts, axes_w
 
     def ik(self, target, q0=None, iters: int = 60, damping: float = 5e-2,
-           joint_limit: float = 2.9, tol: float = 5e-3):
+           tol: float = 5e-3):
         """Batched damped-least-squares position IK.
 
         The reference solves non-locobot IK with per-robot PyBullet
         controllers host-side, one query at a time (reference:
         src/env/robotics/controllers/*.py, 1,644 LoC). Here one traceable
         Gauss-Newton/DLS loop serves every chain: the position Jacobian
-        column for revolute joint i is axis_w_i x (tip - p_i), and the
+        column for revolute joint i is axis_w_i x (tip - anchor_i), and the
         damped normal equations are a batched 3x3 solve — vmappable over
-        thousands of targets on device.
+        thousands of targets on device. Joint limits are the measured MJCF
+        ranges.
 
         target (..., 3) world positions; q0 (..., dof) initial config.
         Multi-start (3 seeds + optional q0) picks the best converged
         solution per target. Returns (qpos (..., dof), valid (...,))."""
         target = jnp.asarray(target, jnp.float32)
         batch = target.shape[:-1]
-        seeds = [jnp.full((self.dof,), s, jnp.float32)
-                 for s in (0.1, 0.6, -0.6)]
+        lo = jnp.asarray(self.jnt_range[:, 0], jnp.float32)
+        hi = jnp.asarray(self.jnt_range[:, 1], jnp.float32)
+        mid = 0.5 * (lo + hi)
+        span = 0.5 * (hi - lo)
+        seeds = [mid, mid + 0.25 * span, mid - 0.25 * span]
         starts = [jnp.broadcast_to(s, batch + (self.dof,)) for s in seeds]
         if q0 is not None:
             starts.insert(0, jnp.broadcast_to(
@@ -141,7 +174,7 @@ class KinematicChain:
                     "...dk,...k->...d", Jcols,
                     jnp.linalg.solve(A, err[..., None])[..., 0],
                 )
-                q = jnp.clip(q + dq, -joint_limit, joint_limit)
+                q = jnp.clip(q + dq, lo, hi)
                 return q, None
 
             q, _ = jax.lax.scan(body, q, None, length=iters)
@@ -159,121 +192,75 @@ class KinematicChain:
         return q, err < tol
 
 
-def _chain(name, base, segs, tip, axes):
-    """segs: list of (offset xyz, radius)."""
-    offsets = np.asarray([s[0] for s in segs], np.float32)
-    radii = np.asarray([s[1] for s in segs], np.float32)
+def _make_chain(key: str) -> KinematicChain:
+    d = CHAIN_DATA[key]
     return KinematicChain(
-        name=name, offsets=offsets, axes=np.asarray(axes, np.float32),
-        radii=radii, tip=np.asarray(tip, np.float32),
-        base=np.asarray(base, np.float32),
+        name=key,
+        anchors=np.asarray(d["anchors"], np.float32),
+        axes=np.asarray(d["axes"], np.float32),
+        jnt_range=np.asarray(d["jnt_range"], np.float32),
+        tip=np.asarray(d["eef"], np.float32),
     )
 
 
-Z = (0, 0, 1.0)
-Y = (0, 1.0, 0)
-X = (1.0, 0, 0)
+CHAINS: Dict[str, KinematicChain] = {k: _make_chain(k) for k in CHAIN_DATA}
 
-# nominal link geometry per robot (base near the locobot workspace so the
-# shared camera registry applies; radii approximate link thickness)
-CHAINS: Dict[str, KinematicChain] = {
-    "sawyer": _chain(
-        "sawyer", (0.0, 0.0, 0.08),
-        [((0, 0, 0.317), 0.09), ((0.081, 0.05, 0.14), 0.08),
-         ((0, -0.03, 0.26), 0.07), ((0, 0.03, 0.127), 0.06),
-         ((0, 0, 0.275), 0.055), ((0, 0.01, 0.105), 0.05),
-         ((0, 0, 0.10), 0.045)],
-        (0, 0, 0.11),
-        [Z, Y, X, Y, X, Y, X],
-    ),
-    "baxter": _chain(
-        "baxter", (0.0, 0.0, 0.1),
-        [((0.06, 0, 0.27), 0.10), ((0.07, 0, 0.0), 0.08),
-         ((0.1, 0, -0.0), 0.08), ((0.26, 0, 0), 0.07),
-         ((0.12, 0, 0), 0.06), ((0.26, 0, 0), 0.055),
-         ((0.1, 0, 0), 0.05)],
-        (0.12, 0, 0),
-        [Z, Y, X, Y, X, Y, X],
-    ),
-    "widowx": _chain(
-        "widowx", (0.1, 0.0, 0.09),
-        [((0, 0, 0.125), 0.05), ((0, 0, 0.04), 0.045),
-         ((0.05, 0, 0.14), 0.04), ((0.14, 0, 0), 0.035),
-         ((0.05, 0, 0), 0.03)],
-        (0.1, 0, 0),
-        [Z, Y, Y, Y, X],
-    ),
-    "franka": _chain(
-        "franka", (0.0, 0.0, 0.06),
-        [((0, 0, 0.333), 0.08), ((0, 0, 0), 0.07),
-         ((0, -0.0, 0.316), 0.065), ((0.0825, 0, 0), 0.06),
-         ((-0.0825, 0, 0.384), 0.055), ((0, 0, 0), 0.05),
-         ((0.088, 0, 0), 0.045)],
-        (0, 0, 0.107),
-        [Z, Y, Z, Y, Z, Y, Z],
-    ),
-    "kuka": _chain(
-        "kuka", (0.0, 0.0, 0.05),
-        [((0, 0, 0.34), 0.09), ((0, 0, 0), 0.08),
-         ((0, 0, 0.4), 0.07), ((0, 0, 0), 0.065),
-         ((0, 0, 0.4), 0.06), ((0, 0, 0), 0.05),
-         ((0, 0, 0.126), 0.045)],
-        (0, 0, 0.08),
-        [Z, Y, Z, Y, Z, Y, Z],
-    ),
-    "fetch": _chain(
-        "fetch", (0.0, 0.0, 0.3),
-        [((0.12, 0, 0.3), 0.10), ((0.117, 0, 0.06), 0.08),
-         ((0.219, 0, 0), 0.07), ((0.133, 0, 0), 0.065),
-         ((0.197, 0, 0), 0.06), ((0.1245, 0, 0), 0.05),
-         ((0.1385, 0, 0), 0.045)],
-        (0.15, 0, 0),
-        [Z, Y, X, Y, X, Y, X],
-    ),
-    "wx250s": _chain(
-        "wx250s", (0.1, 0.0, 0.08),
-        [((0, 0, 0.11), 0.05), ((0.05, 0, 0.25), 0.045),
-         ((0.25, 0, 0), 0.04), ((0.066, 0, 0), 0.035),
-         ((0.065, 0, 0), 0.03), ((0.043, 0, 0), 0.03)],
-        (0.09, 0, 0),
-        [Z, Y, Y, X, Y, X],
-    ),
+
+# default measured viewpoint per robot — the extrinsics each reference
+# mask-env main actually loads (sawyer_mask_env.py:226-230,
+# widowx_mask_env.py:119-127, baxter_mask_env.py:179-196,
+# franka_mask_env.py:126-140, kuka_mask_env.py:113-121 (reuses the
+# sawyer_sudri0_c0 rig), fetch_mask_env.py:171-185, wx250s_model.py:25-28)
+DEFAULT_CAMERA: Dict[str, str] = {
+    "sawyer": "sawyer_sudri0_c0",
+    "widowx": "widowx_widowx1_c0",
+    "baxter": "baxter_left_c0",
+    "baxter_right": "baxter_right_c0",
+    "franka": "franka_c0",
+    "kuka": "kuka_c0",
+    "fetch": "fetch_c0",
+    "wx250s": "wx250s_c0",
 }
-
-
-# register per-robot default viewpoints framing the whole arm (the shared
-# workspace cameras are tuned for the tabletop and crop tall arms)
-for _name, _c in CHAINS.items():
-    _center = _c.base + np.array([0.15, 0.0, 0.35])
-    _eye = _c.base + np.array([1.5, 0.9, 0.9])
-    calib.register_camera(f"{_name}_mask_c0", calib.look_at(_eye, _center))
 
 
 class ChainMaskEnv:
     """Per-robot mask renderer with the reference MaskEnv API
-    (reference: base_mask_env.py:73-82): `generate_masks(qpos_list)` returns
-    one binary mask per configuration — here batched and jit-compiled."""
+    (reference: base_mask_env.py:73-82): `generate_masks(qpos_list)`
+    returns one binary mask per configuration — here batched and
+    jit-compiled. Geometry and cameras are measured (see module
+    docstring); `native_size` echoes each reference env's render size
+    (e.g. sawyer_mask_env.py:28-29 — 85x64)."""
 
     def __init__(self, robot: str, image_size: Tuple[int, int] = (48, 64),
-                 camera_key: Optional[str] = None,
-                 cam_name: str = "intel_realsense_d435",
-                 thick: bool = False):
-        self.chain = CHAINS[robot]
+                 camera_key: Optional[str] = None, thick: bool = False,
+                 arm: str = "left"):
+        key = robot
+        if robot == "baxter" and arm == "right":
+            key = "baxter_right"
+        data = CHAIN_DATA[key]
+        self.chain = CHAINS[key]
         self.robot = robot
         self.h, self.w = image_size
-        key = camera_key or f"{robot}_mask_c0"
-        w2c = calib.get_world_to_camera(key)
-        K = calib.CAM_INTRINSICS[cam_name]
-        ow, oh = calib.CAM_RESOLUTION[cam_name]
-        S = np.diag([self.w / ow, self.h / oh, 1.0])
+        self.native_size = tuple(data["native_size"])  # (W, H)
+        cam = camera_key or DEFAULT_CAMERA[key]
+        w2c = calib.get_world_to_camera(cam)
+        # intrinsics from the MJCF main_cam fovy at the native render size,
+        # rescaled to the requested output size
+        nw, nh = self.native_size
+        f = (nh / 2.0) / np.tan(np.radians(data["fovy"]) / 2.0)
+        sx, sy = self.w / nw, self.h / nh
+        self._fx, self._fy = f * sx, f * sy
+        self._cx, self._cy = self.w / 2.0, self.h / 2.0
         self._w2c = jnp.asarray(w2c, jnp.float32)
-        self._K = jnp.asarray(S @ K, jnp.float32)
+
+        radii = np.asarray(
+            TUNED_RADII.get(key, data["caps_r"]), np.float32
+        )
         scale = 1.45 if thick else 1.0
-        # one capsule per consecutive joint-origin pair (dof+1 segments)
-        radii = np.concatenate([
-            self.chain.radii, self.chain.radii[-1:]
-        ]) * scale
-        self.radii = jnp.asarray(radii, jnp.float32)
+        self.radii = jnp.asarray(radii * scale, jnp.float32)
+        self._attach = np.asarray(data["caps_attach"], np.int32)
+        self._ca = jnp.asarray(data["caps_a"], jnp.float32)
+        self._cb = jnp.asarray(data["caps_b"], jnp.float32)
         ys = jnp.arange(self.h, dtype=jnp.float32) + 0.5
         xs = jnp.arange(self.w, dtype=jnp.float32) + 0.5
         self._py, self._px = jnp.meshgrid(ys, xs, indexing="ij")
@@ -284,19 +271,36 @@ class ChainMaskEnv:
         cam = jnp.einsum("ij,...j->...i", self._w2c[:3],
                          jnp.concatenate([pts, ones], -1))
         z = jnp.maximum(cam[..., 2], 1e-4)
-        u = self._K[0, 0] * cam[..., 0] / z + self._K[0, 2]
-        v = self._K[1, 1] * cam[..., 1] / z + self._K[1, 2]
+        u = self._fx * cam[..., 0] / z + self._cx
+        v = self._fy * cam[..., 1] / z + self._cy
         return u, v, z
 
+    def _capsule_endpoints(self, qpos):
+        """World-space capsule endpoints for a batch of configurations:
+        capsules attached to driven joint k transform rigidly with frame k
+        (static capsules, attach=-1, stay at their zero-pose world pose)."""
+        pos, R = self.chain.fk_frames(qpos)  # (..., J, 3), (..., J, 3, 3)
+        batch = qpos.shape[:-1]
+        anchors0 = jnp.asarray(self.chain.anchors, jnp.float32)
+        att = jnp.asarray(np.maximum(self._attach, 0), jnp.int32)
+        is_static = jnp.asarray(self._attach < 0)
+        p_att = pos[..., att, :]                      # (..., C, 3)
+        R_att = R[..., att, :, :]                     # (..., C, 3, 3)
+        anch = anchors0[att]                          # (C, 3)
+        a = p_att + jnp.einsum("...cij,cj->...ci", R_att, self._ca - anch)
+        b = p_att + jnp.einsum("...cij,cj->...ci", R_att, self._cb - anch)
+        stat = is_static[:, None]
+        a = jnp.where(stat, jnp.broadcast_to(self._ca, batch + self._ca.shape), a)
+        b = jnp.where(stat, jnp.broadcast_to(self._cb, batch + self._cb.shape), b)
+        return a, b
+
     def _render_impl(self, qpos):
-        pts = self.chain.fk_points(qpos)  # (..., S+1, 3)
-        u, v, z = self._project(pts)
-        a_u, b_u = u[..., :-1], u[..., 1:]
-        a_v, b_v = v[..., :-1], v[..., 1:]
-        a_z, b_z = z[..., :-1], z[..., 1:]
-        f = self._K[0, 0]
-        r_a = f * self.radii / a_z
-        r_b = f * self.radii / b_z
+        a, b = self._capsule_endpoints(qpos)          # (..., C, 3)
+        a_u, a_v, a_z = self._project(a)
+        b_u, b_v, b_z = self._project(b)
+        # screen-space radius from mid-segment depth
+        r_a = self._fx * self.radii / a_z
+        r_b = self._fx * self.radii / b_z
         px = self._px.reshape((1,) * a_u.ndim + self._px.shape)
         py = self._py.reshape((1,) * a_u.ndim + self._py.shape)
         au, av = a_u[..., None, None], a_v[..., None, None]
@@ -306,7 +310,8 @@ class ChainMaskEnv:
         t = jnp.clip(((px - au) * dx + (py - av) * dy) / seg_len2, 0.0, 1.0)
         dist = jnp.sqrt((px - (au + t * dx)) ** 2 + (py - (av + t * dy)) ** 2)
         rad = r_a[..., None, None] * (1 - t) + r_b[..., None, None] * t
-        mask = jnp.any(dist <= rad, axis=-3)
+        behind = (a_z + b_z)[..., None, None] > 2e-4  # both clamped => skip
+        mask = jnp.any((dist <= rad) & behind, axis=-3)
         return mask[..., None].astype(jnp.float32)
 
     def generate_masks(self, qpos) -> np.ndarray:

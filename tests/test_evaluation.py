@@ -156,3 +156,83 @@ def test_action_sweeps_shape():
     acts = synthetic_action_sweeps(4, 5)
     assert acts.shape == (10, 4, 5)
     assert np.all(np.abs(acts) <= 0.05 + 1e-6)
+
+
+def test_i3d_tf_checkpoint_conversion(tmp_path):
+    """convert_tf_checkpoint maps a full synthesized TF-Hub variable set
+    (exact i3d-kinetics-400 naming + TF shapes, e.g. batch_norm beta as
+    (1,1,1,1,C)) onto this module's tree, round-trips through
+    save_npz/load_npz, and the converted params drive embed()
+    (reference: src/prediction/evaluation/frechet_video_distance/
+    frechet_video_distance.py:37-56)."""
+    import jax
+
+    from robot_aware_control_tpu.evaluation import i3d
+
+    rng = np.random.RandomState(0)
+    branch_dirs = {
+        "b0": ("Branch_0", "Conv3d_0a_1x1"),
+        "b1a": ("Branch_1", "Conv3d_0a_1x1"),
+        "b1b": ("Branch_1", "Conv3d_0b_3x3"),
+        "b2a": ("Branch_2", "Conv3d_0a_1x1"),
+        "b2b": ("Branch_2", "Conv3d_0b_3x3"),
+        "b3": ("Branch_3", "Conv3d_0b_1x1"),
+    }
+    template = i3d.init(jax.random.PRNGKey(0))
+    tf_vars = {}
+
+    def add_unit(base_tf, unit):
+        w = rng.randn(*np.shape(unit["w"])).astype(np.float32)
+        c = w.shape[-1]
+        tf_vars[f"{base_tf}/conv_3d/w"] = w
+        # TF-Hub stores BN stats with broadcast shape (1, 1, 1, 1, C)
+        tf_vars[f"{base_tf}/batch_norm/beta"] = rng.randn(
+            1, 1, 1, 1, c).astype(np.float32)
+        tf_vars[f"{base_tf}/batch_norm/moving_mean"] = rng.randn(
+            1, 1, 1, 1, c).astype(np.float32)
+        tf_vars[f"{base_tf}/batch_norm/moving_variance"] = np.abs(
+            rng.randn(1, 1, 1, 1, c)).astype(np.float32) + 0.5
+
+    root = "RGB/inception_i3d"
+    for block in ("Conv3d_1a_7x7", "Conv3d_2b_1x1", "Conv3d_2c_3x3"):
+        add_unit(f"{root}/{block}", template[block])
+    for block in i3d.MIXED_ORDER:
+        for unit_key, (bdir, conv) in branch_dirs.items():
+            add_unit(f"{root}/{block}/{bdir}/{conv}",
+                     template[block][unit_key])
+    tf_vars[f"{root}/Logits/Conv3d_0c_1x1/conv_3d/w"] = rng.randn(
+        *np.shape(template["Logits"]["w"])).astype(np.float32)
+    tf_vars[f"{root}/Logits/Conv3d_0c_1x1/conv_3d/b"] = rng.randn(
+        i3d.NUM_CLASSES).astype(np.float32)
+
+    params = i3d.convert_tf_checkpoint(tf_vars)
+    # spot-check the mapping end to end: values land at the right leaves
+    np.testing.assert_array_equal(
+        np.asarray(params["Conv3d_1a_7x7"]["w"]),
+        tf_vars[f"{root}/Conv3d_1a_7x7/conv_3d/w"],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(params["Mixed_4d"]["b2b"]["beta"]),
+        tf_vars[f"{root}/Mixed_4d/Branch_2/Conv3d_0b_3x3/batch_norm/beta"
+                ].reshape(-1),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(params["Logits"]["b"]),
+        tf_vars[f"{root}/Logits/Conv3d_0c_1x1/conv_3d/b"],
+    )
+
+    path = str(tmp_path / "converted.npz")
+    i3d.save_npz(params, path)
+    loaded = i3d.load_npz(path)
+    for k, v in i3d._flatten(params).items():
+        np.testing.assert_array_equal(v, i3d._flatten(loaded)[k])
+
+    # a missing variable is a hard error, not a silent partial load
+    broken = dict(tf_vars)
+    broken.pop(f"{root}/Mixed_5c/Branch_3/Conv3d_0b_1x1/conv_3d/w")
+    with pytest.raises(KeyError):
+        i3d.convert_tf_checkpoint(broken)
+
+    out = i3d.embed(loaded, rng.rand(1, 16, 32, 32, 3).astype(np.float32))
+    assert out.shape == (1, i3d.NUM_CLASSES)
+    assert np.all(np.isfinite(np.asarray(out)))

@@ -10,16 +10,45 @@ from robot_aware_control_tpu.robot.kinematic_chain import (
 )
 
 
+def _mid_range_qpos(chain, n, scale=0.4, seed=1):
+    lo, hi = chain.jnt_range[:, 0], chain.jnt_range[:, 1]
+    mid, span = 0.5 * (lo + hi), 0.5 * (hi - lo)
+    rng = np.random.RandomState(seed)
+    return (mid + rng.uniform(-scale, scale, (n, chain.dof)) * span).astype(
+        np.float32
+    )
+
+
+def _workspace_targets(env, n=2, z=None, spread=0.06):
+    """Points near where the calibrated camera actually looks: intersect
+    the optical axis with a horizontal plane at the arm's working height."""
+    from robot_aware_control_tpu.data import calibration as calib
+    from robot_aware_control_tpu.robot.kinematic_chain import DEFAULT_CAMERA
+
+    key = DEFAULT_CAMERA[env.chain.name]
+    c2w = calib.get_camera_to_world(key)
+    o, d = c2w[:3, 3], c2w[:3, 2]
+    if z is None:
+        z = float(env.chain.anchors[0, 2]) + 0.05
+    t = (z - o[2]) / d[2] if abs(d[2]) > 1e-6 else 1.0
+    center = o + np.clip(t, 0.2, 3.0) * d
+    offs = np.linspace(-spread, spread, n)
+    return np.stack([center + np.array([dx, dx, 0.0]) for dx in offs])
+
+
 @pytest.mark.parametrize("robot", sorted(CHAINS))
 def test_chain_fk_and_mask(robot):
+    import jax.numpy as jnp
+
     env = ChainMaskEnv(robot)
-    q = np.zeros((3, env.chain.dof), np.float32)
-    q[1] = np.linspace(0.2, 0.6, env.chain.dof)
-    q[2] = np.linspace(-0.6, -0.1, env.chain.dof)
-    masks = env.generate_masks(q)
-    assert masks.shape == (3, 48, 64, 1)
+    targets = _workspace_targets(env, n=2)
+    q, _ = env.chain.ik(jnp.asarray(targets, np.float32))
+    masks = env.generate_masks(np.asarray(q))
+    assert masks.shape == (2, 48, 64, 1)
     assert masks.max() <= 1.0 and masks.min() >= 0.0
-    # different configurations give different silhouettes
+    # the arm is visible from its calibrated viewpoint and different
+    # configurations give different silhouettes
+    assert masks.sum() > 0
     assert not np.array_equal(masks[0], masks[1])
 
 
@@ -27,8 +56,12 @@ def test_fk_points_shape():
     chain = CHAINS["sawyer"]
     pts = np.asarray(chain.fk_points(np.zeros((2, 7), np.float32)))
     assert pts.shape == (2, 9, 3)  # base + 7 joints + tip
-    # chain extends upward from its base
-    assert pts[0, -1, 2] > pts[0, 0, 2]
+    # zero pose measured from the reference MJCF: the arm reaches ~1.05 m
+    # out from the pedestal (sawyer/robot.xml)
+    assert 0.8 < np.linalg.norm(pts[0, -1] - pts[0, 0]) < 1.4
+    # FK responds to joint motion
+    pts2 = np.asarray(chain.fk_points(np.full((2, 7), 0.3, np.float32)))
+    assert np.abs(pts2 - pts).max() > 0.05
 
 
 def test_locobot_dispatch():
@@ -45,8 +78,7 @@ def test_chain_ik_reaches_fk_targets(robot):
     import jax.numpy as jnp
 
     chain = CHAINS[robot]
-    rng = np.random.RandomState(1)
-    q = rng.uniform(-0.7, 0.7, (8, chain.dof)).astype(np.float32)
+    q = _mid_range_qpos(chain, 8)
     targets = np.asarray(chain.fk_points(jnp.asarray(q)))[:, -1]
     qs, valid = chain.ik(jnp.asarray(targets))
     assert bool(np.all(np.asarray(valid))), f"{robot} IK failed"
@@ -77,6 +109,47 @@ def test_chain_analytical_model_trajectory():
         np.asarray(states[-1, 0, :2] - states[0, 0, :2]), [0.03, 0.03],
         atol=1e-5,
     )
+
+
+def test_measured_chain_data_consistency():
+    """The baked chain data (extracted from the reference MJCFs by
+    benchmarks/extract_chain_geometry.py) is internally consistent and
+    every default viewpoint is a *measured* calibration, not synthetic."""
+    from robot_aware_control_tpu.data import calibration as calib
+    from robot_aware_control_tpu.robot.kinematic_chain import (
+        CHAIN_DATA,
+        DEFAULT_CAMERA,
+    )
+
+    for robot, d in CHAIN_DATA.items():
+        J = len(d["axes"])
+        assert d["anchors"].shape == (J, 3)
+        np.testing.assert_allclose(
+            np.linalg.norm(d["axes"], axis=-1), 1.0, atol=1e-5
+        )
+        assert np.all(d["jnt_range"][:, 0] < d["jnt_range"][:, 1])
+        att = d["caps_attach"]
+        assert att.min() >= -1 and att.max() < J
+        assert len(d["caps_a"]) == len(d["caps_b"]) == len(d["caps_r"])
+        assert np.all(d["caps_r"] > 0)
+        key = DEFAULT_CAMERA[robot]
+        assert key in calib._MEASURED_CAMERA_TO_WORLD, key
+
+
+def test_static_capsules_do_not_move():
+    """Pedestal/torso geoms (attach=-1) stay put while the arm moves."""
+    env = ChainMaskEnv("baxter")
+    import jax.numpy as jnp
+
+    q = _mid_range_qpos(env.chain, 2)
+    a, b = env._capsule_endpoints(jnp.asarray(q))
+    static = env._attach < 0
+    assert static.any()
+    np.testing.assert_allclose(
+        np.asarray(a)[0][static], np.asarray(a)[1][static], atol=1e-6
+    )
+    moving = ~static
+    assert np.abs(np.asarray(a)[0][moving] - np.asarray(a)[1][moving]).max() > 1e-3
 
 
 def test_thick_masks_superset():

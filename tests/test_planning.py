@@ -271,6 +271,46 @@ def test_cem_policy_plan_shape_and_bounds(svg_model, rng):
     np.testing.assert_allclose(plan, plan2)
 
 
+@pytest.mark.parametrize("experiment,robot_dof", [
+    ("control_franka", 7), ("control_wx250s", 6),
+])
+def test_cem_policy_chain_experiments(svg_model, rng, experiment, robot_dof):
+    """control_franka / control_wx250s plan through the robot's own
+    measured chain (IK + mask env) with frame shifts into the locobot
+    normalization frame (reference: src/cem/trajectory_sampler.py:27-33,
+    94-98; src/dataset/franka/franka_model.py)."""
+    cfg, params, bn = svg_model
+    cfg2 = cfg.replace(experiment=experiment)
+    policy = CEMPolicy(cfg2, params, bn)
+    assert policy.engine.qpos_dim == robot_dof
+    h, w = cfg2.image_height, cfg2.image_width
+    # native-frame start state: the policy shifts it into the locobot frame
+    start = State(
+        img=rng.rand(h, w, 3).astype(np.float32),
+        state=np.array([0.35, 0.0, 0.15, 0, 0], np.float32),
+        qpos=np.zeros(robot_dof, np.float32),
+    )
+    goal = DemoGoalState(
+        imgs=[rng.rand(h, w, 3).astype(np.float32) for _ in range(2)],
+        masks=[np.zeros((h, w), np.float32) for _ in range(2)],
+    )
+    plan = policy.get_action(start, goal)
+    assert plan.shape == (cfg2.horizon - 1, 2)
+    assert np.all(np.abs(plan) <= 0.05 + 1e-6)
+    assert np.all(np.isfinite(plan))
+    # the chain rollout produces robot masks from the measured chain env
+    engine = policy.engine
+    acts = jnp.asarray(
+        rng.uniform(-1, 1, (cfg2.horizon - 1, 4, 5)).astype(np.float32)
+    )
+    _, states_raw, masks = engine.robot_trajectory(
+        jnp.asarray(np.full(5, 0.5, np.float32)),
+        jnp.zeros(robot_dof, jnp.float32), acts,
+    )
+    assert masks.shape == (cfg2.horizon, 4, h, w, 1)
+    assert states_raw.shape == (cfg2.horizon, 4, 5)
+
+
 def test_pick_cem_gripper_clamp(svg_model, rng):
     cfg, params, bn = svg_model
     cfg4 = cfg.replace(action_dim=4)

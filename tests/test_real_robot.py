@@ -42,3 +42,44 @@ def test_visual_mpc_closed_and_open_loop():
     ctrl2.collect_goal_img()
     executed2 = ctrl2.run()
     assert executed2.shape[0] == cfg2.max_episode_length
+
+
+def test_visual_mpc_over_socket_bridge():
+    """The full controller loop across a real process-style boundary: a
+    RobotBridgeServer wraps the sim robot in a background thread and the
+    controller drives it through SocketRobotInterface — the non-ROS
+    analogue of the reference's networked node
+    (visual_MPC_controller.py:60-219)."""
+    import threading
+
+    from robot_aware_control_tpu.control.real_robot import (
+        RobotBridgeServer,
+        SocketRobotInterface,
+    )
+
+    cfg = _cfg()
+    env = LocobotPushEnv(cfg, seed=0)
+    env.reset()
+    params, bn = get_model(cfg).init(jax.random.PRNGKey(0), cfg)
+    server = RobotBridgeServer(SimRobotInterface(env))
+    t = threading.Thread(target=server.serve_once, daemon=True)
+    t.start()
+    host, port = server.address
+    robot = SocketRobotInterface(host, port)
+    try:
+        ctrl = VisualMPCController(cfg, robot, params, bn)
+        img = ctrl.collect_goal_img()
+        assert img.shape == (cfg.image_height, cfg.image_width, 3)
+        ctrl.set_start_pose(np.array([0.25, 0.0, 0.15], np.float32))
+        executed = ctrl.run()
+        assert executed.shape[0] == cfg.max_episode_length
+        # robot faults surface as errors on the controller side
+        try:
+            robot._call("bogus_command")
+            raise AssertionError("expected bridge error")
+        except RuntimeError as e:
+            assert "bogus_command" in str(e)
+    finally:
+        robot.close()
+        t.join(timeout=10)
+        server.close()
