@@ -181,6 +181,11 @@ class Config:
     action_repeat: int = 1
     demo_type: str = "object_only_demo"
     cem_init_std: float = 1.0
+    # pick CEM, demo-seeded: False (default) keeps exploration local around
+    # the demo seed; True applies the reference's unseeded wide-x scheme
+    # (pick/cem.py:66-74 x-std 0.2, gripper std 0.005) even when seeded.
+    # benchmarks/pick_std_ablation.py measures the two head-to-head.
+    pick_wide_x_std: bool = False
     sparse_cost: bool = False
     cem_open_loop: bool = False
     cem_prediction_use_thick_mask: bool = False

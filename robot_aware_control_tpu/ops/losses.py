@@ -118,3 +118,63 @@ def zero_robot_region(mask, image):
     mask (B,H,W,1), image (B,H,W,C)."""
     keep = 1.0 - (mask.astype(jnp.float32) > 0.5).astype(image.dtype)
     return image * keep
+
+
+# ---------------------------------------------------------------------------
+# SAVP-family adversarial / VAE losses (reference: robonet/robonet/
+# video_prediction/losses.py:14-45 and ops.py:1007-1015). The vendored
+# reference checkout ships these loss functions but no discriminator graph
+# (grep-verified: no `discriminator` definition exists anywhere under
+# robonet/), so the loss family — the only live GAN surface — is what gets
+# parity here. All three reference gan_loss_type branches are reproduced.
+# ---------------------------------------------------------------------------
+
+
+def _sigmoid_xent(logits, labels):
+    """Numerically stable sigmoid cross-entropy, elementwise
+    (tf.nn.sigmoid_cross_entropy_with_logits semantics)."""
+    return (
+        jnp.maximum(logits, 0.0)
+        - logits * labels
+        + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+
+
+def gan_criterion(logits, labels: float, gan_loss_type: str = "LSGAN"):
+    """GAN loss vs a broadcast scalar label (reference: losses.py:14-39).
+
+    labels is 1.0 (or 1 - smooth) for real data, 0.0 for fake. 'GAN' with a
+    smoothed label subtracts the label entropy (sigmoid_kl_with_logits,
+    reference ops.py:1007-1015) so the minimum sits at zero.
+    """
+    logits = logits.astype(jnp.float32)
+    if gan_loss_type == "GAN":
+        if labels in (0.0, 1.0):
+            return jnp.mean(_sigmoid_xent(logits, labels))
+        import numpy as np
+
+        entropy = -labels * np.log(labels) - (1.0 - labels) * np.log(
+            1.0 - labels
+        )
+        return jnp.mean(_sigmoid_xent(logits, labels) - entropy)
+    if gan_loss_type == "LSGAN":
+        return jnp.mean(jnp.square(logits - labels))
+    if gan_loss_type == "SNGAN":
+        if labels == 0.0:
+            return jnp.mean(jnp.logaddexp(0.0, logits))
+        if labels == 1.0:
+            return jnp.mean(jnp.logaddexp(0.0, -logits))
+        raise NotImplementedError("SNGAN labels must be 0 or 1")
+    raise ValueError(f"Unknown GAN loss type {gan_loss_type}")
+
+
+def vae_kl_loss(mu, log_sigma_sq):
+    """KL(N(mu, sigma) || N(0, 1)) with the reference's mean-over-batch,
+    sum-over-latent reduction (reference: losses.py:42-45)."""
+    mu, log_sigma_sq = _f32(mu, log_sigma_sq)
+    return -0.5 * jnp.mean(
+        jnp.sum(
+            1.0 + log_sigma_sq - jnp.square(mu) - jnp.exp(log_sigma_sq),
+            axis=-1,
+        )
+    )

@@ -231,9 +231,12 @@ class PickCEMPolicy(CEMPolicy):
         mean = mean.at[:, -1].set(-0.005)
         std = jnp.full((T - 1, 4), self.init_std, jnp.float32)
         seeded = opt_traj is not None and self.cfg.demo_cost
-        if not seeded:
+        # pick_wide_x_std ablates the std scheme only — the mean stays
+        # demo-seeded either way (benchmarks/pick_std_ablation.py)
+        local = seeded and not self.cfg.pick_wide_x_std
+        if not local:
             std = std.at[:, 0].set(0.2)
-        std = std.at[:, -1].set(0.005 if not seeded else self.init_std / 3)
+        std = std.at[:, -1].set(0.005 if not local else self.init_std / 3)
         if seeded:
             opt = jnp.asarray(opt_traj, jnp.float32)[: T - 1, :4]
             mean = mean.at[: opt.shape[0]].set(opt)

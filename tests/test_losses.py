@@ -143,3 +143,55 @@ def test_ssim_matches_torch_conv_oracle(rng):
     # zero-variance windows; 5e-3 absolute agreement is ample for an eval
     # metric.
     np.testing.assert_allclose(got, want.numpy(), atol=5e-3)
+
+
+def test_gan_criterion_matches_tf_formulas(rng):
+    """Oracle: the reference gan_loss branches (robonet video_prediction
+    losses.py:14-39) re-implemented with torch primitives."""
+    logits = torch.tensor(rng.randn(4, 7).astype(np.float32))
+    jl = jnp.asarray(logits.numpy())
+
+    # GAN, hard labels: sigmoid cross-entropy vs constant label
+    for lab in (0.0, 1.0):
+        want = torch.nn.functional.binary_cross_entropy_with_logits(
+            logits, torch.full_like(logits, lab)
+        )
+        got = float(L.gan_criterion(jl, lab, "GAN"))
+        np.testing.assert_allclose(got, float(want), rtol=1e-5)
+
+    # GAN, smoothed label: xent minus label entropy (ops.py:1007-1015)
+    lab = 0.9
+    entropy = -lab * np.log(lab) - (1 - lab) * np.log(1 - lab)
+    want = (
+        torch.nn.functional.binary_cross_entropy_with_logits(
+            logits, torch.full_like(logits, lab)
+        )
+        - entropy
+    )
+    got = float(L.gan_criterion(jl, lab, "GAN"))
+    np.testing.assert_allclose(got, float(want), rtol=1e-5)
+
+    # LSGAN: mean squared logits-vs-label
+    got = float(L.gan_criterion(jl, 1.0, "LSGAN"))
+    np.testing.assert_allclose(got, float(((logits - 1.0) ** 2).mean()), rtol=1e-5)
+
+    # SNGAN: softplus(+-logits)
+    got0 = float(L.gan_criterion(jl, 0.0, "SNGAN"))
+    got1 = float(L.gan_criterion(jl, 1.0, "SNGAN"))
+    np.testing.assert_allclose(
+        got0, float(torch.nn.functional.softplus(logits).mean()), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        got1, float(torch.nn.functional.softplus(-logits).mean()), rtol=1e-5
+    )
+
+
+def test_vae_kl_loss_matches_formula(rng):
+    """Oracle: losses.py:42-45 -0.5*mean(sum(1+ls-mu^2-exp(ls), -1))."""
+    mu = rng.randn(5, 8).astype(np.float32)
+    ls = rng.randn(5, 8).astype(np.float32)
+    want = -0.5 * np.mean(
+        np.sum(1.0 + ls - mu**2 - np.exp(ls), axis=-1)
+    )
+    got = float(L.vae_kl_loss(jnp.asarray(mu), jnp.asarray(ls)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
