@@ -26,10 +26,16 @@ benchmarks/torch_reference_cem.py to regenerate.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 BENCH_TRAIN=1 switches to the second north-star metric, SVG train
-frames/sec/chip (BASELINE.json config #2): one jitted whole-window train
-step at the canonical robot-aware config, denominator = the measured
-reference trainer step extrapolated to A100
-(BASELINE_MEASURED.json reference_a100_train_frames_per_sec).
+frames/sec/chip (BASELINE.json config #2): whole-window train steps at the
+canonical robot-aware config, denominator = the measured reference trainer
+step extrapolated to A100 (BASELINE_MEASURED.json
+reference_a100_train_frames_per_sec). The headline runs batch 128 with
+BENCH_TRAIN_STEPS steps scanned inside ONE jitted program — one dispatch
+and one host sync per measurement window, which is how the production
+trainer runs (one metrics sync per epoch, trainer.py) — and reports the
+single-dispatch batch-16 number plus the tunnel overhead per dispatch on
+stderr (axon device syncs cost ~50-170 ms and are NOT model time).
+BENCH_TRAIN_BATCH overrides the batch size.
 """
 
 from __future__ import annotations
@@ -47,12 +53,21 @@ REFERENCE_TRAIN_FRAMES_PER_SEC = 807.5
 
 
 def bench_train(smoke: bool):
+    import sys
+
     import jax.numpy as jnp
 
     from robot_aware_control_tpu.config import Config
     from robot_aware_control_tpu.models.registry import get_model
     from robot_aware_control_tpu.training.step import make_train_step
 
+    B = int(os.environ.get("BENCH_TRAIN_BATCH", "8" if smoke else "128"))
+    S = int(os.environ.get("BENCH_TRAIN_STEPS", "2" if smoke else "6"))
+    remat = bool(int(os.environ.get("BENCH_TRAIN_REMAT", "1")))
+    # "conv" saves conv/dot outputs and recomputes only elementwise chains
+    # in the backward pass — measured 5.39x vs 4.85x for full remat at
+    # batch 128 (RESULTS.md); batch 192+ regresses (HBM pressure).
+    remat_policy = os.environ.get("BENCH_TRAIN_REMAT_POLICY", "conv")
     cfg = Config(
         model="svg",
         g_dim=64 if smoke else 256,
@@ -64,45 +79,90 @@ def bench_train(smoke: bool):
         robot_joint_dim=5,
         n_past=1,
         n_future=5,
-        batch_size=16,
+        batch_size=B,
         model_use_mask=True,
         model_use_future_mask=True,
         model_use_robot_state=True,
         reconstruction_loss="dontcare_l1",
         scheduled_sampling=True,
         compute_dtype="bfloat16",
-        remat=True,
+        remat=remat,
+        remat_policy=remat_policy,
     )
     model = get_model(cfg)
     params, bn = model.init(jax.random.PRNGKey(0), cfg)
     tstep, tx = make_train_step(cfg)
     opt_state = tx.init(params)
-    W, B = cfg.n_past + cfg.n_future, cfg.batch_size
+    W = cfg.n_past + cfg.n_future
     rng = np.random.RandomState(0)
     h, w = cfg.image_height, cfg.image_width
-    batch = {
-        "images": jnp.asarray(rng.rand(W, B, h, w, 3), jnp.float32),
-        "masks": jnp.asarray(rng.rand(W, B, h, w, 1) > 0.8, jnp.float32),
-        "states": jnp.asarray(rng.rand(W, B, 5), jnp.float32),
-        "actions": jnp.asarray(rng.rand(W - 1, B, 5), jnp.float32),
-    }
+
+    def make_batch(s_axis=None):
+        lead = () if s_axis is None else (s_axis,)
+        return {
+            "images": jnp.asarray(
+                rng.rand(*lead, W, B, h, w, 3), jnp.float32),
+            "masks": jnp.asarray(
+                rng.rand(*lead, W, B, h, w, 1) > 0.8, jnp.float32),
+            "states": jnp.asarray(rng.rand(*lead, W, B, 5), jnp.float32),
+            "actions": jnp.asarray(
+                rng.rand(*lead, W - 1, B, 5), jnp.float32),
+        }
+
     key = jax.random.PRNGKey(0)
     prob = jnp.float32(1.0)
-    params, bn, opt_state, metrics = tstep(params, bn, opt_state, batch,
+
+    # --- single-dispatch time (includes one tunnel round-trip) -----------
+    batch1 = make_batch()
+    params, bn, opt_state, metrics = tstep(params, bn, opt_state, batch1,
                                            key, prob)
     float(metrics["loss"])  # force through the tunnel
-    reps = 3 if smoke else 20
+    t0 = time.perf_counter()
+    params, bn, opt_state, metrics = tstep(params, bn, opt_state, batch1,
+                                           key, prob)
+    float(metrics["loss"])
+    t_single = time.perf_counter() - t0
+
+    # --- S steps scanned in ONE program: one dispatch + one sync ---------
+    # (production shape: the trainer syncs metrics once per epoch)
+    def multi(params, bn, opt_state, batches, key):
+        def body(carry, b):
+            p, bnn, o, k = carry
+            k, k2 = jax.random.split(k)
+            p, bnn, o, m = tstep(p, bnn, o, b, k2, prob)
+            return (p, bnn, o, k), m["loss"]
+
+        (p, bnn, o, _), losses = jax.lax.scan(
+            body, (params, bn, opt_state, key), batches
+        )
+        return p, bnn, o, losses
+
+    multi = jax.jit(multi, donate_argnums=(0, 1, 2))
+    batches = make_batch(s_axis=S)
+    params, bn, opt_state, losses = multi(params, bn, opt_state, batches, key)
+    float(losses[-1])
+    reps = 1 if smoke else 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        params, bn, opt_state, metrics = tstep(params, bn, opt_state, batch,
-                                               key, prob)
-    float(metrics["loss"])
-    dt = (time.perf_counter() - t0) / reps
-    fps = B * W / dt
+        params, bn, opt_state, losses = multi(params, bn, opt_state,
+                                              batches, key)
+    float(losses[-1])
+    dt_step = (time.perf_counter() - t0) / (reps * S)
+    fps = B * W / dt_step
+    fps_single = B * W / t_single
+    print(json.dumps({
+        "tunnel_note": "single dispatch incl. host sync vs in-graph step",
+        "batch": B, "steps_per_dispatch": S,
+        "single_dispatch_s": round(t_single, 4),
+        "in_graph_step_s": round(dt_step, 4),
+        "tunnel_overhead_s": round(max(t_single - dt_step, 0.0), 4),
+        "frames_per_sec_single_dispatch": round(fps_single, 1),
+    }), file=sys.stderr)
     print(json.dumps({
         "metric": "svg_train_frames_per_sec_per_chip",
         "value": round(fps, 2),
-        "unit": "frames/s/chip (whole-window jitted step, batch 16)",
+        "unit": f"frames/s/chip (whole-window step, batch {B}, "
+                f"{S} steps/dispatch, one sync)",
         "vs_baseline": round(fps / REFERENCE_TRAIN_FRAMES_PER_SEC, 3),
     }))
 

@@ -231,6 +231,11 @@ class Config:
     mesh_axes: Tuple[str, ...] = ("data",)
     # Rematerialize encoder/decoder activations inside the time scan.
     remat: bool = False
+    # Remat granularity: "full" recomputes the whole per-step forward in
+    # the backward pass (min HBM, +~1 fwd of FLOPs); "conv" saves every
+    # conv/dot output and recomputes only the cheap elementwise chains
+    # between them (near-no-remat FLOPs at a fraction of full-save HBM).
+    remat_policy: str = "full"  # full|conv
     # Metres of eef displacement per unit action for the ANALYTIC robot
     # model inside planner rollouts. The reference's robonet actions are
     # metric displacements (scale 1.0); the bundled JAX envs emit [-1,1]

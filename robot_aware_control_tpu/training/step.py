@@ -261,11 +261,22 @@ def make_train_step(cfg: Config):
             return new_carry, step_losses
 
         # rematerialize per-step activations in the backward pass instead of
-        # storing the whole unrolled window (HBM pressure at large batch)
-        step_fn = (
-            jax.checkpoint(scan_step, prevent_cse=False) if cfg.remat
-            else scan_step
-        )
+        # storing the whole unrolled window (HBM pressure at large batch).
+        # "conv" policy keeps every conv/dot output resident and re-runs
+        # only the elementwise chains between them — backward then reads
+        # saved MXU outputs instead of re-paying the MXU FLOPs.
+        if cfg.remat and cfg.remat_policy == "conv":
+            def _mxu_saveable(prim, *_, **__):
+                return prim in (jax.lax.conv_general_dilated_p,
+                                jax.lax.dot_general_p)
+
+            step_fn = jax.checkpoint(
+                scan_step, prevent_cse=False, policy=_mxu_saveable
+            )
+        elif cfg.remat:
+            step_fn = jax.checkpoint(scan_step, prevent_cse=False)
+        else:
+            step_fn = scan_step
         final, step_losses = jax.lax.scan(step_fn, carry0, xs)
         totals = jax.tree_util.tree_map(jnp.sum, step_losses)
         loss = totals["recon_loss"]

@@ -102,3 +102,28 @@ def test_eval_step_one_step_mode():
     batch = _window(synthetic_batch(cfg, 2, 8, seed=1), cfg.n_eval)
     per_step, _ = estep(params, bn, batch, jax.random.PRNGKey(2))
     assert np.isfinite(np.asarray(per_step["psnr"])).all()
+
+
+def test_remat_policies_match():
+    """remat=off / remat=full / remat=conv are numerically identical —
+    rematerialization changes memory/FLOP scheduling, never values."""
+    batch = _window(synthetic_batch(TINY, 2, 8, seed=3), TINY.n_past + TINY.n_future)
+    rng, prob = jax.random.PRNGKey(7), jnp.float32(1.0)
+    outs = []
+    for remat, policy in ((False, "full"), (True, "full"), (True, "conv")):
+        cfg = TINY.replace(remat=remat, remat_policy=policy)
+        model = get_model(cfg)
+        params, bn = model.init(jax.random.PRNGKey(0), cfg)
+        tstep, tx = make_train_step(cfg)
+        opt_state = tx.init(params)
+        params, bn, opt_state, metrics = tstep(
+            params, bn, opt_state, batch, rng, prob
+        )
+        outs.append((params, float(metrics["loss"])))
+    p0, l0 = outs[0]
+    for p, l in outs[1:]:
+        assert abs(l - l0) < 1e-4 * max(1.0, abs(l0))
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5),
+            p0, p,
+        )
