@@ -171,8 +171,26 @@ def fit_capsule(verts):
     return a, b, r
 
 
-def geom_capsule(m, d, g):
-    """World-frame capsule (a, b, r) for geom id g at qpos=0."""
+def fit_capsules(verts):
+    """Fit 1-2 capsules to a mesh vertex cloud. Stubby clouds (axial
+    extent < 3x radius — gripper bodies, boxy housings) are split along
+    their second principal axis into two thinner side-by-side capsules,
+    which tracks a box silhouette far better than one fat circle."""
+    a, b, r = fit_capsule(verts)
+    length = float(np.linalg.norm(b - a))
+    if len(verts) < 100 or length >= 3.0 * r:
+        return [(a, b, r)]
+    c = verts.mean(0)
+    _, _, vt = np.linalg.svd(verts - c, full_matrices=False)
+    side = (verts - c) @ vt[1]
+    left, right = verts[side < 0], verts[side >= 0]
+    if len(left) < 8 or len(right) < 8:
+        return [(a, b, r)]
+    return [fit_capsule(left), fit_capsule(right)]
+
+
+def geom_capsules(m, d, g):
+    """World-frame capsule list [(a, b, r), ...] for geom id g at qpos=0."""
     import mujoco
 
     pos = d.geom_xpos[g]
@@ -181,23 +199,23 @@ def geom_capsule(m, d, g):
     gt = m.geom_type[g]
     T = mujoco.mjtGeom
     if gt == T.mjGEOM_SPHERE:
-        return pos.copy(), pos.copy(), float(size[0])
+        return [(pos.copy(), pos.copy(), float(size[0]))]
     if gt in (T.mjGEOM_CAPSULE, T.mjGEOM_CYLINDER):
         h = size[1] * R[:, 2]
-        return pos - h, pos + h, float(size[0])
+        return [(pos - h, pos + h, float(size[0]))]
     if gt == T.mjGEOM_BOX:
         k = int(np.argmax(size))
         h = size[k] * R[:, k]
         rest = [size[i] for i in range(3) if i != k]
-        return pos - h, pos + h, float(np.hypot(*rest) * 0.75)
+        return [(pos - h, pos + h, float(np.hypot(*rest) * 0.75))]
     if gt == T.mjGEOM_MESH:
         mid = m.geom_dataid[g]
         adr, num = m.mesh_vertadr[mid], m.mesh_vertnum[mid]
         verts = m.mesh_vert[adr: adr + num].reshape(-1, 3)
         world = verts @ R.T + pos
-        return fit_capsule(world)
+        return fit_capsules(world)
     # planes/ellipsoids don't appear in these arms
-    return pos.copy(), pos.copy(), float(size[0])
+    return [(pos.copy(), pos.copy(), float(size[0]))]
 
 
 def extract(robot):
@@ -246,9 +264,9 @@ def extract(robot):
                 attach = driven_of_body[b]
                 break
             b = m.body_parentid[b]
-        a, bb, r = geom_capsule(m, d, g)
-        caps.append((attach, a, bb, r))
-        names.append(name)
+        for a, bb, r in geom_capsules(m, d, g):
+            caps.append((attach, a, bb, r))
+            names.append(name)
 
     # eef tip: the furthest capsule endpoint on the last driven link
     last = max(c[0] for c in caps)

@@ -33,6 +33,7 @@ import argparse
 import json
 import os
 import sys
+from typing import Optional
 
 import numpy as np
 
@@ -240,13 +241,14 @@ def run_locobot(args, results):
 
 
 def chain_qpos_samples(robot: str, n: int, frac: float = 0.6,
-                       oracle=None, min_px: int = 40):
+                       oracle=None, min_px: Optional[int] = None):
     """Seeded uniform joint draws within the central `frac` of each MJCF
     joint range — a stand-in for dataset qpos distributions. When an
     oracle is given, rejection-sample configurations the calibrated
-    camera actually sees (>= min_px robot pixels): dataset trajectories
-    stay inside the camera's workspace by construction, and mask fidelity
-    only matters for visible configurations."""
+    camera actually sees (>= min_px robot pixels, default ~2.8% of the
+    frame): dataset trajectories keep the arm over the table by
+    construction, so a pose showing only a sliver at the frame edge is
+    out-of-workspace, not a mask-fidelity case."""
     from robot_aware_control_tpu.robot.kinematic_chain import CHAINS
 
     chain = CHAINS[robot]
@@ -263,6 +265,8 @@ def chain_qpos_samples(robot: str, n: int, frac: float = 0.6,
 
     if oracle is None:
         return draw(n)
+    if min_px is None:
+        min_px = (oracle.h * oracle.w) // 36
     out, tries = [], 0
     while len(out) < n and tries < 40 * n:
         q = draw(1)[0]
