@@ -163,6 +163,7 @@ def analytic_rollout(eef0, obj_xys, actions):
         ),
         gripper=jnp.asarray(1.0, jnp.float32),
         attached=jnp.zeros(K, jnp.float32),
+        obj_vel=jnp.zeros((K, 2), jnp.float32),
     )
     traj = []
     for a in actions:

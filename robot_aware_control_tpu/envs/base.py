@@ -12,10 +12,17 @@ transition is a pure function `physics_step(state, action)`, so
     src/cem/mujoco/trajectory_sampler.py:230-316),
   * get/set flattened state is a pytree copy — branching is free.
 
-Contact model: quasi-static tabletop pushing. The gripper tip is a sphere;
-when a step moves the tip within contact radius of a block, the block
-translates with the tip displacement (clipped to the table region). Pick
-uses attach/release flags driven by the gripper action channel.
+Contact model: quasi-static projection pushing with momentum, fitted
+against the reference MuJoCo LocobotTableEnv over 20 scripted scenarios
+(benchmarks/physics_fidelity.py; reference stepping:
+locobot_table_env.py:186-256). A block overlapping the tip's end position
+is projected out along the tip->block normal to the touch distance (so
+the engagement step transfers only the overlap, and a glancing hit
+deflects instead of dragging); block-block overlaps then resolve in chain
+order, pushing a train shares the weld load (lower efficiency), and a
+block leaving contact coasts with decaying velocity (MuJoCo momentum
+after the mocap target stops). Pick uses attach/release flags driven by
+the gripper action channel.
 """
 
 from __future__ import annotations
@@ -35,13 +42,26 @@ WS_LOW = np.array([0.015, -0.3, 0.1], np.float32)
 WS_HIGH = np.array([0.55, 0.3, 0.4], np.float32)
 TABLE_Z = 0.1
 ACTION_SCALE = 0.05  # eef position control scale (locobot_table_env.py:190)
-CONTACT_RADIUS = 0.045  # tip + block half-extent
+CONTACT_RADIUS = 0.045  # tip + block half-extent (touch distance)
 # When the tip pushes a block, MuJoCo's mocap weld lags under contact load:
 # the commanded 0.05 m step yields ~0.021 m of actual eef/object travel
 # (reference LocobotTableEnv stepping measured by
 # benchmarks/physics_fidelity.py). Both tip and block advance by this
 # fraction of the commanded displacement during contact.
 PUSH_EFFICIENCY = 0.44
+# Pushing an n-block train shares the weld load: eff_n = eff / (1 +
+# PUSH_LOAD*(n-1)). Measured two_obj_row train speed ~0.25x commanded vs
+# 0.44x single-block; fitted by benchmarks/fit_physics.py.
+PUSH_LOAD = 0.4
+# After the mocap target stops (or the tip leaves contact), the block
+# coasts: MuJoCo momentum + residual weld settle. First coast step is
+# COAST_INIT x the last contact displacement, then geometric decay
+# (fitted by benchmarks/fit_physics.py over the 20-scenario suite).
+COAST_INIT = 0.8
+COAST_DECAY = 0.3
+# Center distance at which two blocks push each other (2x half-extent,
+# face contact of the 4 cm cubes with a little margin for corners).
+BLOCK_TOUCH = 0.044
 
 
 class SimState(NamedTuple):
@@ -50,6 +70,7 @@ class SimState(NamedTuple):
     obj_pos: jnp.ndarray    # (K, 3) block centers
     gripper: jnp.ndarray    # () gripper openness in [0, 1] (1 = open)
     attached: jnp.ndarray   # (K,) 1.0 if block is held
+    obj_vel: jnp.ndarray    # (K, 2) xy coast velocity (m/step)
 
 
 def solve_qpos(eef, cur_qpos, pitch=lk.DEFAULT_PITCH, roll=lk.DEFAULT_ROLL):
@@ -59,27 +80,59 @@ def solve_qpos(eef, cur_qpos, pitch=lk.DEFAULT_PITCH, roll=lk.DEFAULT_ROLL):
     )
 
 
-def push_objects(obj_pos, attached, tip_prev, tip_next,
+def _resolve_contacts(xy, free, low_enough, tip_xy,
+                      contact_radius, n_chain_passes):
+    """Projection contact in the plane: blocks overlapping the tip's end
+    position are pushed out along the tip->block normal to the touch
+    distance (the engagement step transfers only the overlap depth; a
+    glancing hit deflects instead of dragging — matches MuJoCo
+    displacement curves, benchmarks/physics_fidelity.py). Block-block
+    overlaps then resolve in chain order: a block moved this step shoves
+    any free block it overlaps out along their center axis, K-1 passes.
+    Returns (new_xy, moved_mask)."""
+    d = xy - tip_xy[None, :]
+    dist = jnp.maximum(jnp.linalg.norm(d, axis=-1), 1e-6)
+    nhat = d / dist[:, None]
+    overlap = jnp.maximum(contact_radius - dist, 0.0)
+    overlap = jnp.where(low_enough & free, overlap, 0.0)
+    xy = xy + overlap[:, None] * nhat
+    moved = overlap > 1e-6
+    K = xy.shape[0]
+    eye = jnp.eye(K, dtype=bool)
+    for _ in range(n_chain_passes):
+        vec = xy[None, :, :] - xy[:, None, :]          # vec[i, j] = j - i
+        dij = jnp.maximum(jnp.linalg.norm(vec, axis=-1), 1e-6)
+        nij = vec / dij[..., None]
+        ov = jnp.maximum(BLOCK_TOUCH - dij, 0.0)
+        ov = jnp.where(moved[:, None] & free[None, :] & ~eye, ov, 0.0)
+        shove = jnp.sum(ov[..., None] * nij, axis=0)   # (K, 2)
+        xy = xy + shove
+        moved = moved | (jnp.linalg.norm(shove, axis=-1) > 1e-6)
+    return xy, moved
+
+
+def push_objects(obj_pos, attached, obj_vel, tip_prev, tip_next,
                  contact_radius=CONTACT_RADIUS, obj_half=0.02):
-    """Quasi-static push: blocks within contact radius of the tip's end
-    position translate with the tip displacement (xy only); attached blocks
-    follow the tip exactly."""
-    delta = (tip_next - tip_prev)[None, :]
-    d = tip_next[None, :2] - obj_pos[:, :2]
-    near = jnp.sqrt(jnp.sum(d * d, -1)) < contact_radius
+    """Contact + momentum update for the blocks (xy only); attached blocks
+    follow the tip exactly. Returns (new_obj_pos, new_obj_vel)."""
+    K = obj_pos.shape[0]
+    free = attached < 0.5
     low_enough = tip_next[2] < (TABLE_Z + 2.5 * obj_half + 0.03)
-    pushed = (near & low_enough)[:, None] & (attached[:, None] < 0.5)
-    # point-push: the block takes only the displacement component along
-    # the tip->block contact normal (a glancing hit deflects, it doesn't
-    # drag — matches MuJoCo displacement curves, benchmarks/
-    # physics_fidelity.py)
-    n = obj_pos[:, :2] - tip_prev[None, :2]
-    nhat = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-6)
-    push_mag = jnp.maximum(jnp.sum(delta[:, :2] * nhat, -1, keepdims=True), 0.0)
-    obj_delta = push_mag * nhat
+    xy0 = obj_pos[:, :2]
+    xy, moved = _resolve_contacts(
+        xy0, free, low_enough, tip_next[:2], contact_radius,
+        n_chain_passes=max(K - 1, 1),
+    )
+    contact_delta = xy - xy0
+    # coasting: blocks not in contact keep sliding with decaying velocity
+    coasting = ~moved & free
+    xy = xy + jnp.where(coasting[:, None], obj_vel, 0.0)
+    new_vel = jnp.where(
+        moved[:, None], COAST_INIT * contact_delta, obj_vel * COAST_DECAY
+    )
+    new_vel = jnp.where(free[:, None], new_vel, 0.0)
     new_xy = jnp.clip(
-        obj_pos[:, :2] + jnp.where(pushed, obj_delta, 0.0),
-        WS_LOW[:2] + obj_half, WS_HIGH[:2] - obj_half,
+        xy, WS_LOW[:2] + obj_half, WS_HIGH[:2] - obj_half,
     )
     held = attached[:, None] > 0.5
     held_xy = jnp.broadcast_to(tip_next[None, :2], new_xy.shape)
@@ -88,7 +141,7 @@ def push_objects(obj_pos, attached, tip_prev, tip_next,
         held[:, 0], held_z, obj_pos[:, 2]
     )
     xy = jnp.where(held, held_xy, new_xy)
-    return jnp.concatenate([xy, z[:, None]], -1)
+    return jnp.concatenate([xy, z[:, None]], -1), new_vel
 
 
 def physics_step(state: SimState, action, action_scale=ACTION_SCALE,
@@ -102,13 +155,22 @@ def physics_step(state: SimState, action, action_scale=ACTION_SCALE,
     tip_free = jnp.clip(
         state.eef + a * action_scale, jnp.asarray(WS_LOW), jnp.asarray(WS_HIGH)
     )
-    # contact resistance: pushing a block slows both tip and block to
-    # PUSH_EFFICIENCY of the commanded displacement (see constant above)
-    d_free = tip_free[None, :2] - state.obj_pos[:, :2]
-    near_free = jnp.sqrt(jnp.sum(d_free * d_free, -1)) < CONTACT_RADIUS
+    # contact resistance: pushing slows both tip and blocks to a fraction
+    # of the commanded displacement (mocap weld lag under load); pushing
+    # an n-block train divides the efficiency further (PUSH_LOAD). The
+    # chain count is probed at the full commanded step.
     low_free = tip_free[2] < (TABLE_Z + 2.5 * obj_half + 0.03)
-    pushing = jnp.any(near_free & low_free & (state.attached < 0.5))
-    eff = jnp.where(pushing, PUSH_EFFICIENCY, 1.0)
+    _, probe_moved = _resolve_contacts(
+        state.obj_pos[:, :2], state.attached < 0.5, low_free,
+        tip_free[:2], CONTACT_RADIUS,
+        n_chain_passes=max(state.obj_pos.shape[0] - 1, 1),
+    )
+    n_load = jnp.sum(probe_moved.astype(jnp.float32))
+    eff = jnp.where(
+        n_load > 0.0,
+        PUSH_EFFICIENCY / (1.0 + PUSH_LOAD * jnp.maximum(n_load - 1.0, 0.0)),
+        1.0,
+    )
     tip_next = state.eef + eff * (tip_free - state.eef)
     grip = state.gripper
     attached = state.attached
@@ -125,14 +187,14 @@ def physics_step(state: SimState, action, action_scale=ACTION_SCALE,
             jnp.zeros_like(attached),
         )
         # dropped blocks fall to the table
-    obj_pos = push_objects(state.obj_pos, attached, state.eef, tip_next,
-                           obj_half=obj_half)
+    obj_pos, obj_vel = push_objects(state.obj_pos, attached, state.obj_vel,
+                                    state.eef, tip_next, obj_half=obj_half)
     if pick:
         dropped = (state.attached > 0.5) & (attached < 0.5)
         z = jnp.where(dropped, TABLE_Z + obj_half, obj_pos[:, 2])
         obj_pos = obj_pos.at[:, 2].set(z)
     qpos = solve_qpos(tip_next, state.qpos)
-    return SimState(tip_next, qpos, obj_pos, grip, attached)
+    return SimState(tip_next, qpos, obj_pos, grip, attached, obj_vel)
 
 
 class RobotEnv:
@@ -204,6 +266,7 @@ class RobotEnv:
         return SimState(
             jnp.asarray(eef), jnp.asarray(qpos), jnp.asarray(objs),
             jnp.float32(1.0), jnp.zeros(self.num_objects),
+            jnp.zeros((self.num_objects, 2)),
         )
 
     def reset(self):
@@ -242,6 +305,7 @@ class RobotEnv:
             np.asarray(self.state.obj_pos).ravel(),
             np.atleast_1d(np.asarray(self.state.gripper)),
             np.asarray(self.state.attached).ravel(),
+            np.asarray(self.state.obj_vel).ravel(),
         ]).astype(np.float32)
 
     def set_flattened_state(self, flat):
@@ -252,10 +316,13 @@ class RobotEnv:
         qpos = flat[i:i + 5]; i += 5
         obj = flat[i:i + 3 * K].reshape(K, 3); i += 3 * K
         grip = flat[i]; i += 1
-        att = flat[i:i + K]
+        att = flat[i:i + K]; i += K
+        # older serialized states predate obj_vel — treat as at rest
+        vel = (flat[i:i + 2 * K].reshape(K, 2) if len(flat) >= i + 2 * K
+               else np.zeros((K, 2), np.float32))
         self.state = SimState(
             jnp.asarray(eef), jnp.asarray(qpos), jnp.asarray(obj),
-            jnp.float32(grip), jnp.asarray(att),
+            jnp.float32(grip), jnp.asarray(att), jnp.asarray(vel),
         )
 
     def render(self, mode="rgb_array"):
