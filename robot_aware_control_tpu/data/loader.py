@@ -460,6 +460,20 @@ def create_widowx_transfer_loader(config: Config):
                       _host_batch(config.test_batch_size), drop_last=False)
 
 
+def create_franka_transfer_loader(config: Config):
+    """Zero-shot eval on the lab franka data — a robot never seen in
+    training (reference: franka_dataloader.py:12-44: franka_views/c0,
+    seeded shuffle, first 400 files, unshuffled loader). Used by the
+    eval_franka experiment (evaluate_checkpoint.py:44-58)."""
+    pairs = _scan_view_dirs(config, "franka", "franka_views", ["c0"])
+    pairs = _seeded_shuffle(pairs, config.seed)[:400]
+    if not pairs:
+        raise FileNotFoundError("no franka transfer hdf5 found")
+    return _mk_loader(config, pairs, config.seed + 2,
+                      _host_batch(config.test_batch_size), shuffle=False,
+                      drop_last=False)
+
+
 def _locobot_pairs(config: Config, views_dir: str, folders):
     """Locobot file pairs: reference layout <data_root>/<views_dir>/<c*>
     first, falling back to the collected flat layout

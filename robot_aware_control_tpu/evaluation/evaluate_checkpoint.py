@@ -23,9 +23,19 @@ def evaluate_checkpoint(cfg: Config, ckpt_path: str, loader=None):
     trainer = PredictionTrainer(cfg)
     trainer.load_checkpoint(ckpt_path, finetune=False)
     if loader is None:
-        _, loader = trainer._setup_data()
-        if trainer.transfer_loader is not None:
-            loader = trainer.transfer_loader
+        if cfg.experiment == "eval_franka":
+            # zero-shot franka eval loads the franka_views/c0 transfer set
+            # directly (reference: evaluate_checkpoint.py:8,44-58 imports
+            # franka_dataloader.create_transfer_loader)
+            from robot_aware_control_tpu.data.loader import (
+                create_franka_transfer_loader,
+            )
+
+            loader = create_franka_transfer_loader(cfg)
+        else:
+            _, loader = trainer._setup_data()
+            if trainer.transfer_loader is not None:
+                loader = trainer.transfer_loader
     metrics, _ = trainer._eval_epoch(iter(loader))  # full set (reference: trainer.py:467-489)
     # world-PSNR derived from the world MSE (reference :24-29)
     wl = metrics.get("autoreg_world_loss")

@@ -42,6 +42,7 @@ def tree(tmp_path_factory):
         + [("locobot", "locobot_views", d, 2) for d in DL.LOCOBOT_FOLDERS]
         + [("locobot", "locobot_table_views", "c0", 4)]
         + [("locobot", "locobot_pick_views", "c0", 4)]
+        + [("franka", "franka_views", "c0", 3)]
     )
     for robot, views, d, n in layout:
         for i in range(n):
@@ -172,3 +173,28 @@ def test_movement_loaders_have_call_site(tree, tmp_path):
     picked = _files(train_loader) | _files(test_loader)
     assert picked
     assert all(meta[p] for p in picked)
+
+
+def test_eval_franka_zero_shot(tree, tmp_path):
+    """eval_franka evaluates a trained checkpoint zero-shot on the
+    franka_views/c0 transfer set (reference: evaluate_checkpoint.py:8,44-58
+    + franka_dataloader.py:12-44)."""
+    from robot_aware_control_tpu.evaluation.evaluate_checkpoint import (
+        evaluate_checkpoint,
+    )
+    from robot_aware_control_tpu.training import checkpoint as ckpt
+
+    # provenance: the loader draws only from franka_views/c0
+    ecfg = _cfg(tree, tmp_path, "eval_franka", jobname="evalfr")
+    loader = DL.create_franka_transfer_loader(ecfg)
+    files = _files(loader)
+    assert files and all("franka_views/c0" in f for f in files)
+
+    # end-to-end: train on locobot, evaluate zero-shot on franka
+    cfg = _cfg(tree, tmp_path, "train_locobot_singleview", jobname="prefr")
+    tr = PredictionTrainer(cfg)
+    tr.train()
+    path = ckpt.latest_checkpoint(tr.log_dir)
+    metrics = evaluate_checkpoint(ecfg, path)
+    assert np.isfinite(metrics["autoreg_world_loss"])
+    assert "autoreg_world_psnr" in metrics
