@@ -229,6 +229,16 @@ class Config:
     num_devices: int = 0
     # Mesh axis names for (data, model) parallelism.
     mesh_axes: Tuple[str, ...] = ("data",)
+    # Tensor-parallel degree: >1 builds a 2-D (data, model) mesh and
+    # channel-shards params over the "model" axis (parallel/mesh.py).
+    model_axis_size: int = 1
+    # Where params + optimizer state live on the mesh:
+    #   replicated — every chip holds a full copy (pure DP, default)
+    #   model      — trailing/output-channel axis sharded over "model"
+    #                (tensor parallelism; requires model_axis_size > 1)
+    #   data       — trailing axis sharded over "data" (FSDP-style: 1/n
+    #                param+Adam HBM per chip, XLA all-gathers at use)
+    param_sharding: str = "replicated"  # replicated|model|data
     # Rematerialize encoder/decoder activations inside the time scan.
     remat: bool = False
     # Remat granularity: "full" recomputes the whole per-step forward in

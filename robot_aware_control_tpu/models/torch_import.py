@@ -125,6 +125,45 @@ def import_conv_decoder(sd, prefix="decoder"):
     return params, state
 
 
+def _linear(sd, prefix):
+    """torch Linear (out, in) -> ours (in, out)."""
+    p = {"w": np.transpose(sd[f"{prefix}.weight"]).copy()}
+    if f"{prefix}.bias" in sd:
+        p["b"] = sd[f"{prefix}.bias"].copy()
+    return p
+
+
+def _spatial_map_linear(sd, prefix, fh: int, fw: int, c: int):
+    """Linear head whose output is viewed as an NCHW (c, fh, fw) spatial
+    map by the reference (dynamics.py:446-449) but reshaped NHWC
+    (fh, fw, c) by us — permute the OUTPUT units accordingly."""
+    w = sd[f"{prefix}.weight"]  # (c*fh*fw, in)
+    din = w.shape[1]
+    w = w.reshape(c, fh, fw, din).transpose(1, 2, 0, 3).reshape(-1, din)
+    p = {"w": np.transpose(w).copy()}
+    if f"{prefix}.bias" in sd:
+        b = sd[f"{prefix}.bias"]
+        p["b"] = b.reshape(c, fh, fw).transpose(1, 2, 0).reshape(-1).copy()
+    return p
+
+
+def import_det_conv_model(sd: Dict[str, np.ndarray], fh: int, fw: int
+                          ) -> Tuple[Dict, Dict]:
+    """torch DeterministicConvModel state_dict -> (params, bn_state) for
+    models/det.py (reference: dynamics.py:363-454). fh/fw are the
+    (H/8, W/8) feature-map dims the action/state Linears tile into."""
+    params, state = {}, {}
+    params["encoder"], state["encoder"] = import_conv_encoder(sd)
+    params["decoder"], state["decoder"] = import_conv_decoder(sd)
+    params["action_enc"] = _spatial_map_linear(sd, "action_encoder.0", fh, fw, 2)
+    if "state_encoder.0.weight" in sd:
+        params["state_enc"] = _spatial_map_linear(
+            sd, "state_encoder.0", fh, fw, 2
+        )
+    params["frame_lstm"] = _conv_lstm(sd, "frame_predictor")
+    return params, state
+
+
 def import_svg_conv_model(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
     """torch SVGConvModel state_dict -> (params, bn_state) for models/svg.py."""
     params, state = {}, {}

@@ -34,6 +34,60 @@ def get_mesh(num_devices: int = 0, axis: str = "data") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def get_mesh_2d(model_axis_size: int, num_devices: int = 0,
+                axes=("data", "model")) -> Mesh:
+    """2-D (data, model) mesh: batch shards over "data", channel-sharded
+    params shard over "model" (tensor parallelism). The model axis is the
+    FAST (innermost) device dimension so TP collectives ride the
+    shortest ICI hops; data-parallel gradient all-reduce spans the outer
+    dimension."""
+    devs = jax.devices()
+    if num_devices:
+        devs = devs[:num_devices]
+    n = len(devs)
+    if n % model_axis_size:
+        raise ValueError(
+            f"{n} devices not divisible by model_axis_size={model_axis_size}"
+        )
+    return Mesh(np.array(devs).reshape(n // model_axis_size, model_axis_size),
+                axes)
+
+
+def leaf_sharding(mesh: Mesh, x, axis: str) -> NamedSharding:
+    """Sharding rule for one parameter/optimizer-state leaf: shard the
+    TRAILING axis over the named mesh axis when it divides evenly,
+    replicate otherwise.
+
+    The trailing axis is the output-channel axis for every layer in this
+    codebase — conv kernels are HWIO, dense weights are (din, dout), and
+    biases/BN vectors are (cout,) — so one rule shards a conv, its bias,
+    and its following BatchNorm consistently along the same channel
+    partition. Adam's mu/nu mirror param shapes and land on the same
+    sharding; scalar leaves (e.g. optax step counts) replicate.
+
+    axis="model": tensor parallelism — XLA partitions each conv/matmul
+    over output channels and inserts the (all-gather) collectives where a
+    replicated-input op consumes a channel-sharded tensor.
+    axis="data": FSDP-style sharding — params/optimizer state are stored
+    sharded over the data axis and all-gathered by XLA at use, trading an
+    ICI gather per layer for 1/n_devices of the param+Adam HBM footprint.
+    """
+    shape = getattr(x, "shape", ())
+    size = mesh.shape[axis]
+    if len(shape) >= 1 and shape[-1] % size == 0 and shape[-1] >= size:
+        return NamedSharding(mesh, P(*([None] * (len(shape) - 1) + [axis])))
+    return NamedSharding(mesh, P())
+
+
+def shard_params(mesh: Mesh, tree, axis: str = "model"):
+    """device_put a param-shaped pytree (params / optimizer state / BN
+    state) with per-leaf trailing-axis shardings (leaf_sharding)."""
+    shardings = jax.tree_util.tree_map(
+        lambda x: leaf_sharding(mesh, x, axis), tree
+    )
+    return jax.device_put(tree, shardings)
+
+
 def process_info() -> tuple:
     """(process_index, process_count) — (0, 1) on a single host."""
     return jax.process_index(), jax.process_count()

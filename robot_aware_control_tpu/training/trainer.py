@@ -22,8 +22,12 @@ Loop structure preserved:
     prior samples by PSNR for svg finetune (trainer.py:491-563), transfer
     set for zero-shot robots (trainer.py:786-790), eval gifs.
 
-Data parallel: batches shard over a 1-D "data" mesh; params/opt state are
-replicated and XLA inserts the gradient all-reduce over ICI.
+Parallelism: batches shard over the mesh's "data" axis and XLA inserts the
+gradient all-reduce over ICI. Params/optimizer state are replicated by
+default; `--param_sharding data` stores them FSDP-style (1/n HBM, gathered
+at use) and `--model_axis_size M --param_sharding model` channel-shards
+them over a 2-D (data, model) mesh (tensor parallelism). See
+parallel/mesh.py:leaf_sharding for the one-rule sharding layout.
 """
 
 from __future__ import annotations
@@ -79,16 +83,34 @@ class PredictionTrainer:
         else:
             self.params = self.bn = self.opt_state = None
 
-        # data-parallel mesh (single device degrades gracefully); the mesh
-        # size must divide the batch, so clamp to the largest divisor
+        # device mesh (single device degrades gracefully). With
+        # model_axis_size > 1 the mesh is 2-D (data, model): batch shards
+        # over "data", params channel-shard over "model" (tensor
+        # parallelism). The DATA axis size must divide the batch, so clamp
+        # to the largest divisor.
+        tp = max(1, cfg.model_axis_size)
         ndev = cfg.num_devices or len(jax.devices())
-        while ndev > 1 and (cfg.batch_size % ndev or cfg.test_batch_size % ndev):
-            ndev -= 1
-        self.mesh = pmesh.get_mesh(ndev) if ndev > 1 else None
+        ndev -= ndev % tp
+        while ndev > tp and (
+            cfg.batch_size % (ndev // tp) or cfg.test_batch_size % (ndev // tp)
+        ):
+            ndev -= tp
+        if tp > 1 and ndev >= tp:
+            self.mesh = pmesh.get_mesh_2d(tp, ndev)
+        elif ndev > 1:
+            self.mesh = pmesh.get_mesh(ndev)
+        else:
+            self.mesh = None
         if self.mesh is not None and self.params is not None:
-            self.params = pmesh.replicate(self.mesh, self.params)
-            self.bn = pmesh.replicate(self.mesh, self.bn)
-            self.opt_state = pmesh.replicate(self.mesh, self.opt_state)
+            if cfg.param_sharding == "model" and tp > 1:
+                put = lambda t: pmesh.shard_params(self.mesh, t, "model")
+            elif cfg.param_sharding == "data":
+                put = lambda t: pmesh.shard_params(self.mesh, t, "data")
+            else:
+                put = lambda t: pmesh.replicate(self.mesh, t)
+            self.params = put(self.params)
+            self.bn = put(self.bn)
+            self.opt_state = put(self.opt_state)
 
         # robot model for finetune experiments (trainer.py:123-130): the
         # analytical model is locobot-only; sawyer/widowx finetunes use

@@ -100,6 +100,121 @@ def test_make_global_batch_single_process():
     assert len(out["images"].sharding.device_set) == 8
 
 
+def _tiny_cfg():
+    from robot_aware_control_tpu.config import Config
+
+    return Config(
+        model="svg", g_dim=8, z_dim=2, image_height=16, image_width=16,
+        action_dim=5, robot_dim=5, robot_joint_dim=5, n_past=1, n_future=2,
+        model_use_mask=True, model_use_robot_state=True,
+        reconstruction_loss="dontcare_l1", scheduled_sampling=True,
+        compute_dtype="float32",
+    )
+
+
+def _tiny_batch(B=8, W=3):
+    rng = np.random.RandomState(0)
+    return {
+        "images": rng.rand(W, B, 16, 16, 3).astype(np.float32),
+        "masks": (rng.rand(W, B, 16, 16, 1) > 0.8).astype(np.float32),
+        "states": rng.rand(W, B, 5).astype(np.float32),
+        "actions": rng.rand(W - 1, B, 5).astype(np.float32),
+    }
+
+
+def test_param_sharding_variants_match_replicated():
+    """Tensor-parallel (2-D mesh, channel-sharded params) and FSDP-style
+    (params sharded over the data axis) train steps produce the same
+    numbers as the replicated data-parallel step."""
+    import jax.numpy as jnp
+
+    from robot_aware_control_tpu.models.registry import get_model
+    from robot_aware_control_tpu.parallel.mesh import (
+        get_mesh, get_mesh_2d, leaf_sharding, replicate, shard_batch,
+        shard_params,
+    )
+    from robot_aware_control_tpu.training.step import make_train_step
+
+    cfg = _tiny_cfg()
+    model = get_model(cfg)
+    params0, bn0 = model.init(jax.random.PRNGKey(0), cfg)
+    # host copies: train_step donates its inputs
+    params0 = jax.device_get(params0)
+    bn0 = jax.device_get(bn0)
+    tstep, tx = make_train_step(cfg)
+    batch = _tiny_batch()
+    key = jax.random.PRNGKey(1)
+
+    def run(mesh, axis):
+        if axis == "replicated":
+            put = lambda t: replicate(mesh, t)
+        else:
+            put = lambda t: shard_params(mesh, t, axis)
+        p, b = put(params0), put(bn0)
+        o = put(tx.init(params0))
+        sb = shard_batch(mesh, batch, batch_axis_index=1)
+        k = replicate(mesh, key)
+        prob = replicate(mesh, jnp.float32(1.0))
+        ms = []
+        for _ in range(2):
+            p, b, o, metrics = tstep(p, b, o, sb, k, prob)
+            ms.append(jax.device_get(metrics))
+        return ms, jax.device_get(p)
+
+    mesh_dp = get_mesh(8)
+    mesh_tp = get_mesh_2d(2, 8)
+    m_ref, p_ref = run(mesh_dp, "replicated")
+    m_tp, p_tp = run(mesh_tp, "model")
+    m_fsdp, p_fsdp = run(mesh_dp, "data")
+
+    # step-1 losses computed from identical params must agree tightly;
+    # step-2 losses run on once-updated params — a sharding-layout BUG
+    # (transposed/misplaced shards) would corrupt them at O(1).
+    for m in (m_tp, m_fsdp):
+        for k in m_ref[0]:
+            np.testing.assert_allclose(m[0][k], m_ref[0][k],
+                                       rtol=2e-4, atol=1e-5)
+            np.testing.assert_allclose(m[1][k], m_ref[1][k],
+                                       rtol=5e-3, atol=1e-4)
+    # Adam at step 1 is ~lr*sign(g) per coordinate: where |g| is at f32
+    # reduction-order noise the sign can flip between layouts, so updated
+    # params are only comparable to within the update magnitude. Two steps
+    # bound the spread at 2 updates/side.
+    for p in (p_tp, p_fsdp):
+        ref_leaves = jax.tree_util.tree_leaves(p_ref)
+        got_leaves = jax.tree_util.tree_leaves(p)
+        for a, b in zip(ref_leaves, got_leaves):
+            np.testing.assert_allclose(b, a, rtol=0, atol=5 * cfg.lr)
+
+    # the sharding rule actually shards: a conv kernel with a
+    # model-axis-divisible cout must carry the "model" axis in its spec
+    sh = leaf_sharding(mesh_tp, np.zeros((3, 3, 3, 64)), "model")
+    assert sh.spec[-1] == "model"
+    # and replicates what does not divide
+    sh = leaf_sharding(mesh_tp, np.zeros((3, 3, 3, 1)), "model")
+    assert all(s is None for s in sh.spec)
+
+
+def test_trainer_builds_tp_mesh(tmp_path):
+    """PredictionTrainer with model_axis_size=2 builds the 2-D mesh and
+    channel-shards its params over the model axis."""
+    from robot_aware_control_tpu.training.trainer import PredictionTrainer
+
+    cfg = _tiny_cfg().replace(
+        jobname="tp_mesh", log_dir=str(tmp_path), data_root=str(tmp_path),
+        dataset="synthetic", batch_size=4, test_batch_size=4,
+        model_axis_size=2, param_sharding="model", niter=0, epoch_size=1,
+    )
+    tr = PredictionTrainer(cfg)
+    assert tr.mesh is not None and tr.mesh.shape == {"data": 4, "model": 2}
+    specs = {
+        tuple(l.sharding.spec)
+        for l in jax.tree_util.tree_leaves(tr.params)
+        if hasattr(l, "sharding")
+    }
+    assert any(s and s[-1] == "model" for s in specs)
+
+
 def test_two_process_multihost_smoke():
     """Real 2-process jax.distributed path: host shards, global-batch
     assembly, cross-process reduction, orbax sharded ckpt round-trip

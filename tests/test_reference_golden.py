@@ -175,6 +175,92 @@ def test_five_step_autoregressive_parity(ref_and_ours):
         )
 
 
+@pytest.fixture(scope="module")
+def det_ref_and_ours():
+    """Reference DeterministicConvModel (dynamics.py:363-454) + imported
+    params for models/det.py."""
+    sys.path.insert(0, REF)
+    try:
+        from src.prediction.models.dynamics import DeterministicConvModel
+    finally:
+        sys.path.remove(REF)
+
+    torch.manual_seed(1)
+    ref = DeterministicConvModel(_RefCfg()).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, bn = TI.import_det_conv_model(sd, H // 8, W // 8)
+    cfg = Config(
+        model="det", g_dim=G_DIM, action_dim=A_DIM, robot_dim=R_DIM,
+        image_height=H, image_width=W, model_use_mask=True,
+        model_use_robot_state=True, last_frame_skip=False,
+        compute_dtype="float32",
+    )
+    return ref, cfg, params, bn
+
+
+def test_det_single_step_parity(det_ref_and_ours):
+    """DeterministicConvModel forward parity on imported weights."""
+    from robot_aware_control_tpu.models import det
+
+    ref, cfg, params, bn = det_ref_and_ours
+    inp = _inputs(30)
+    ref.init_hidden(B)
+    with torch.no_grad():
+        x_pred_t, _ = ref(
+            _t(inp["image"]), _t(inp["mask"]), torch.from_numpy(inp["robot"]),
+            torch.from_numpy(inp["action"]), skip=None,
+        )
+    carry = det.init_carry(cfg, B)
+    out, _, _ = det.step(
+        cfg, params, bn, carry, jnp.asarray(inp["image"]),
+        jnp.asarray(inp["mask"]), jnp.asarray(inp["robot"]),
+        jnp.asarray(inp["action"]), skip=None, train=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["x_pred"]), _n(x_pred_t), atol=5e-5, rtol=1e-4
+    )
+
+
+def test_det_autoregressive_parity(det_ref_and_ours):
+    """5-step det rollout with attention composite + frozen skip."""
+    from robot_aware_control_tpu.models import det
+    from robot_aware_control_tpu.models.common import composite
+
+    ref, cfg, params, bn = det_ref_and_ours
+    steps = [_inputs(40 + t) for t in range(5)]
+    x0 = steps[0]["image"]
+
+    ref.init_hidden(B)
+    skip_t, x_t, ref_frames = None, _t(x0), []
+    with torch.no_grad():
+        for t, s in enumerate(steps):
+            x_pred, skip_used = ref(
+                x_t, _t(s["mask"]), torch.from_numpy(s["robot"]),
+                torch.from_numpy(s["action"]), skip=skip_t,
+            )
+            if t == 0:
+                skip_t = skip_used
+            rgb, attn = x_pred[:, :3], x_pred[:, 3].unsqueeze(1)
+            x_t = (1 - attn) * x_t + attn * rgb
+            ref_frames.append(_n(x_t))
+
+    carry = det.init_carry(cfg, B)
+    skip_j, x_j = None, jnp.asarray(x0)
+    for t, s in enumerate(steps):
+        out, carry, _ = det.step(
+            cfg, params, bn, carry, x_j, jnp.asarray(s["mask"]),
+            jnp.asarray(s["robot"]), jnp.asarray(s["action"]),
+            skip=skip_j, train=False,
+        )
+        if t == 0:
+            skip_j = out["skip"]
+        x_j = composite(cfg, out["x_pred"], x_j)
+        np.testing.assert_allclose(
+            np.asarray(x_j), ref_frames[t], atol=1e-4 * (t + 1), rtol=1e-3,
+            err_msg=f"step {t}",
+        )
+
+
 def test_posterior_stats_parity(ref_and_ours):
     """Posterior mu/logvar (deterministic) match when the next frame is
     supplied; prior z forced for the image path (force_use_prior)."""
