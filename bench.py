@@ -225,6 +225,16 @@ def main():
 
     rollouts = reps * cfg.opt_iter * cfg.action_candidates
     rps = rollouts / elapsed
+    # control-loop view: one full CEM plan (the per-control-step latency the
+    # robot actually waits for; reference spends seconds here host-side)
+    import sys
+
+    print(json.dumps({
+        "plan_latency_s": round(elapsed / reps, 4),
+        "plans_per_sec": round(reps / elapsed, 2),
+        "note": f"one plan = {cfg.opt_iter} iters x "
+                f"{cfg.action_candidates} candidates, horizon {cfg.horizon}",
+    }), file=sys.stderr)
     print(json.dumps({
         "metric": "cem_model_rollouts_per_sec",
         "value": round(rps, 2),

@@ -239,6 +239,10 @@ class Config:
     #   data       — trailing axis sharded over "data" (FSDP-style: 1/n
     #                param+Adam HBM per chip, XLA all-gathers at use)
     param_sharding: str = "replicated"  # replicated|model|data
+    # Write npz checkpoints on a background thread: device->host copies
+    # are batch-initiated up front, the trainer only blocks for the
+    # materialize, and disk IO overlaps the next training steps.
+    async_checkpoint: bool = True
     # Rematerialize encoder/decoder activations inside the time scan.
     remat: bool = False
     # Remat granularity: "full" recomputes the whole per-step forward in

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import re
+import threading
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -47,20 +48,59 @@ def _unflatten(template, flat: Dict[str, np.ndarray]):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
-def save_checkpoint(log_dir: str, step: int, trees: Dict[str, Any]):
-    """trees: named pytrees, e.g. {"params":..., "bn":..., "opt":...}."""
+def save_checkpoint(log_dir: str, step: int, trees: Dict[str, Any],
+                    background: bool = False):
+    """trees: named pytrees, e.g. {"params":..., "bn":..., "opt":...}.
+
+    Device->host transfers are initiated for ALL leaves up front
+    (jax.Array.copy_to_host_async) before any blocking read, so the axon
+    tunnel round-trip is paid once for the whole tree instead of per leaf.
+    background=True additionally moves the npz write to a writer thread
+    and returns as soon as the arrays are materialized — safe against the
+    train step's buffer donation (the device buffers are no longer
+    referenced). Writes are serialized on one lock; call
+    wait_for_checkpoints() before reading the file or exiting. The
+    reference blocks training for every torch.save (trainer.py:829-837)."""
     os.makedirs(log_dir, exist_ok=True)
     path = os.path.join(log_dir, f"ckpt_{step}.npz")
     flat = {}
     for name, tree in trees.items():
-        for k, v in _flatten(tree).items():
-            flat[f"{name}|{k}"] = v
+        for p, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            flat[f"{name}|{jax.tree_util.keystr(p)}"] = leaf
     flat["__step__"] = np.asarray(step)
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        np.savez(f, **flat)
-    os.replace(tmp, path)
+    for v in flat.values():
+        if isinstance(v, jax.Array):
+            v.copy_to_host_async()
+    arrs = {k: np.asarray(v) for k, v in flat.items()}
+    if background:
+        t = threading.Thread(target=_write_npz, args=(path, arrs), daemon=True)
+        with _WRITERS_LOCK:
+            _WRITERS.append(t)
+        t.start()
+        return path
+    _write_npz(path, arrs)
     return path
+
+
+_WRITERS: list = []
+_WRITERS_LOCK = threading.Lock()
+_WRITE_SERIAL = threading.Lock()
+
+
+def _write_npz(path: str, arrs: Dict[str, np.ndarray]):
+    with _WRITE_SERIAL:
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrs)
+        os.replace(tmp, path)
+
+
+def wait_for_checkpoints():
+    """Join all outstanding background checkpoint writers."""
+    with _WRITERS_LOCK:
+        pending, _WRITERS[:] = _WRITERS[:], []
+    for t in pending:
+        t.join()
 
 
 def latest_checkpoint(log_dir: str) -> Optional[str]:
@@ -83,6 +123,7 @@ def load_checkpoint(
     """Restore named pytrees into matching templates. Missing template names
     are skipped (e.g. finetune skips the optimizer, trainer.py:892-896).
     Dispatches to the orbax path for directory checkpoints."""
+    wait_for_checkpoints()  # a background writer may still hold this file
     if os.path.isdir(path):
         return load_checkpoint_sharded(path, templates)
     with np.load(path, allow_pickle=False) as data:

@@ -445,7 +445,10 @@ class PredictionTrainer:
         if self.cfg.sharded_checkpoint or jax.process_count() > 1:
             path = ckpt.save_checkpoint_sharded(self.log_dir, self._step, trees)
         else:
-            path = ckpt.save_checkpoint(self.log_dir, self._step, trees)
+            path = ckpt.save_checkpoint(
+                self.log_dir, self._step, trees,
+                background=self.cfg.async_checkpoint,
+            )
         self.logger.info(f"saved checkpoint {path} (epoch {epoch})")
 
     def _resume(self):
@@ -545,6 +548,7 @@ class PredictionTrainer:
                 except StopIteration:
                     pass
         self._save(cfg.niter - 1)
+        ckpt.wait_for_checkpoints()  # join background npz writers
         return self.params
 
     # ------------------------------------------------------------------

@@ -12,6 +12,25 @@ from robot_aware_control_tpu.evaluation.vis_tools import (
 )
 
 
+def test_reference_flag_parity():
+    """Every CLI flag the reference argparse tree defines exists as a
+    Config field — the flag names are the de-facto API
+    (reference: src/config/__init__.py:23-365)."""
+    import dataclasses
+    import re
+
+    ref_cfg = "/root/reference/src/config/__init__.py"
+    if not os.path.isfile(ref_cfg):
+        pytest.skip("reference not present")
+    with open(ref_cfg) as f:
+        ref_flags = set(re.findall(r'add_argument\(\s*"--([a-zA-Z0-9_]+)"',
+                                   f.read()))
+    assert len(ref_flags) > 100  # the full tree parsed, not a fragment
+    ours = {f.name for f in dataclasses.fields(Config)}
+    missing = sorted(ref_flags - ours)
+    assert not missing, f"reference flags without a Config field: {missing}"
+
+
 def test_yaml_roundtrip(tmp_path):
     cfg = Config(g_dim=17, reward_type="dontcare", camera_ids=(1, 2))
     path = str(tmp_path / "cfg.yaml")

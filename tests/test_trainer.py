@@ -73,3 +73,19 @@ def test_copy_baseline(tmp_path):
     tr = PredictionTrainer(cfg)
     metrics = tr.copy_baseline()
     assert "world_loss" in metrics and np.isfinite(metrics["world_loss"])
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """background=True materializes through batched async device->host
+    copies, writes on a thread, and wait_for_checkpoints/load_checkpoint
+    synchronize with the writer."""
+    import jax
+    import jax.numpy as jnp
+
+    trees = {"params": {"w": jnp.arange(12.0).reshape(3, 4), "b": jnp.ones(3)}}
+    path = ckpt.save_checkpoint(str(tmp_path), 5, trees, background=True)
+    out, step = ckpt.load_checkpoint(path, {"params": jax.device_get(trees["params"])})
+    assert step == 5
+    np.testing.assert_array_equal(np.asarray(out["params"]["w"]),
+                                  np.arange(12.0).reshape(3, 4))
+    ckpt.wait_for_checkpoints()  # idempotent when drained
