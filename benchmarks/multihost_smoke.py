@@ -94,6 +94,21 @@ assert tr._step == 2, tr._step
 final = ckpt.latest_checkpoint(tr.log_dir)
 assert final is not None and os.path.isdir(final)  # orbax sharded dir
 print(f"[p{pid}] MULTIHOST TRAINER OK", flush=True)
+
+# --- FSDP-style param sharding across hosts ---------------------------------
+# params + Adam state sharded over the global data axis (each host stores
+# only its slice); XLA all-gathers at use over the cross-process backend,
+# and the coordinated orbax save persists the cross-host shards.
+cfg_f = cfg.replace(jobname="mh_fsdp", param_sharding="data")
+tr_f = PredictionTrainer(cfg_f)
+sharded_leaves = [
+    l for l in jax.tree_util.tree_leaves(tr_f.params)
+    if hasattr(l, "sharding") and any(s is not None for s in l.sharding.spec)
+]
+assert sharded_leaves, "no param leaf actually sharded over the data axis"
+tr_f.train()
+assert tr_f._step == 2, tr_f._step
+print(f"[p{pid}] MULTIHOST FSDP OK", flush=True)
 print(f"[p{pid}] MULTIHOST OK", flush=True)
 """
 
@@ -115,7 +130,7 @@ def main():
     ]
     ok = True
     for i, p in enumerate(procs):
-        out, _ = p.communicate(timeout=300)
+        out, _ = p.communicate(timeout=540)
         text = out.decode()
         if p.returncode != 0 or "MULTIHOST OK" not in text:
             ok = False

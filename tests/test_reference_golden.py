@@ -261,6 +261,38 @@ def test_det_autoregressive_parity(det_ref_and_ours):
         )
 
 
+def test_cdna_kernel_warp_parity():
+    """Our one-einsum CDNA warping matches the reference's depthwise-conv
+    implementation (reference: cdna.py:7-117 apply_cdna_kernels_torch)."""
+    import types
+
+    sys.path.insert(0, REF)
+    try:
+        import src.prediction.models.cdna as ref_cdna
+    finally:
+        sys.path.remove(REF)
+    # the reference's pad2d_paddings dereferences `tf` (import commented
+    # out) before reaching its torch branch — stub it so isinstance falls
+    # through (cdna.py:171)
+    if not hasattr(ref_cdna, "tf"):
+        ref_cdna.tf = types.SimpleNamespace(Tensor=())
+    apply_cdna_kernels_torch = ref_cdna.apply_cdna_kernels_torch
+
+    from robot_aware_control_tpu.models.cdna import apply_cdna_kernels
+
+    r = np.random.RandomState(3)
+    img = r.rand(2, 16, 20, 3).astype(np.float32)
+    kern = r.rand(2, 5, 5, 4).astype(np.float32)
+    kern /= kern.sum(axis=(1, 2), keepdims=True)  # CDNA kernels are softmaxed
+    with torch.no_grad():
+        ref_out = apply_cdna_kernels_torch(
+            torch.from_numpy(img), torch.from_numpy(kern)
+        ).numpy()
+    ours = np.asarray(apply_cdna_kernels(jnp.asarray(img), jnp.asarray(kern)))
+    assert ours.shape == ref_out.shape == (2, 16, 20, 4, 3)
+    np.testing.assert_allclose(ours, ref_out, atol=1e-5, rtol=1e-5)
+
+
 def test_posterior_stats_parity(ref_and_ours):
     """Posterior mu/logvar (deterministic) match when the next frame is
     supplied; prior z forced for the image path (force_use_prior)."""
