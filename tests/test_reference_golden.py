@@ -293,6 +293,81 @@ def test_cdna_kernel_warp_parity():
     np.testing.assert_allclose(ours, ref_out, atol=1e-5, rtol=1e-5)
 
 
+def test_planning_cost_parity_vs_reference():
+    """Our batched planning costs match the ACTUAL reference Cost classes
+    (reference: losses.py:172-335, tensor paths) — RobotL2, ImgL2,
+    ImgDontcare, and the weighted RobotWorldCost combination."""
+    import types
+
+    # losses.py imports skimage/torchvision only for the blur cost — stub
+    for name, attrs in (
+        ("skimage", {}),
+        ("skimage.filters", {"gaussian": None}),
+        ("torchvision", {}),
+        ("torchvision.transforms", {"ToTensor": object}),
+    ):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(mod, k, v)
+            sys.modules[name] = mod
+    if not hasattr(sys.modules["skimage"], "filters"):
+        sys.modules["skimage"].filters = sys.modules["skimage.filters"]
+    sys.path.insert(0, REF)
+    try:
+        from src.prediction.losses import RobotWorldCost as RefRWC
+        from src.utils.state import State as RefState
+    finally:
+        sys.path.remove(REF)
+
+    from robot_aware_control_tpu.planning.cost import RobotWorldCost
+
+    class _CostCfg:
+        robot_cost_weight = 2.5
+        world_cost_weight = 1.0
+        reward_type = "dontcare"
+        img_cost_threshold = None
+        img_cost_world_norm = True
+
+    Bn, Hh, Ww = 4, 12, 16
+    r = np.random.RandomState(7)
+    curr = r.rand(Bn, Hh, Ww, 3).astype(np.float32)
+    goal = r.rand(Bn, Hh, Ww, 3).astype(np.float32)
+    cm = (r.rand(Bn, Hh, Ww, 1) > 0.8).astype(np.float32)
+    gm = (r.rand(Bn, Hh, Ww, 1) > 0.8).astype(np.float32)
+    cs = r.rand(Bn, 5).astype(np.float32)
+    gs = r.rand(Bn, 5).astype(np.float32)
+
+    def t_img(x):  # NHWC -> NCHW torch
+        return torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+
+    ref_cost = RefRWC(_CostCfg())
+    ref_val = ref_cost(
+        RefState(img=t_img(curr), mask=t_img(cm), state=torch.from_numpy(cs)),
+        RefState(img=t_img(goal), mask=t_img(gm), state=torch.from_numpy(gs)),
+    )
+
+    cfg = Config(
+        reward_type="dontcare", robot_cost_weight=2.5, world_cost_weight=1.0,
+        img_cost_world_norm=True,
+    )
+    ours = np.asarray(RobotWorldCost(cfg)(
+        jnp.asarray(curr), jnp.asarray(goal), jnp.asarray(cm),
+        jnp.asarray(gm), jnp.asarray(cs), jnp.asarray(gs),
+    ))
+    np.testing.assert_allclose(ours, np.asarray(ref_val), rtol=1e-5, atol=1e-4)
+
+    # dense reward type (plain ImgL2 world cost), no robot term
+    _CostCfg.reward_type = "dense"
+    _CostCfg.robot_cost_weight = 0.0
+    ref_val = RefRWC(_CostCfg())(
+        RefState(img=t_img(curr)), RefState(img=t_img(goal))
+    )
+    cfg = cfg.replace(reward_type="dense", robot_cost_weight=0.0)
+    ours = np.asarray(RobotWorldCost(cfg)(jnp.asarray(curr), jnp.asarray(goal)))
+    np.testing.assert_allclose(ours, np.asarray(ref_val), rtol=1e-5, atol=1e-3)
+
+
 def test_posterior_stats_parity(ref_and_ours):
     """Posterior mu/logvar (deterministic) match when the next frame is
     supplied; prior z forced for the image path (force_use_prior)."""
