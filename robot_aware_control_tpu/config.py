@@ -239,6 +239,9 @@ class Config:
     #   data       — trailing axis sharded over "data" (FSDP-style: 1/n
     #                param+Adam HBM per chip, XLA all-gathers at use)
     param_sharding: str = "replicated"  # replicated|model|data
+    # data.collect CLI: what to write — training hdf5s into data_root,
+    # episode-runner demos (demo_io format) into demo_dir, or both.
+    collect_target: str = "train"  # train|demos|both
     # Write npz checkpoints on a background thread: device->host copies
     # are batch-initiated up front, the trainer only blocks for the
     # materialize, and disk IO overlaps the next training steps.

@@ -84,11 +84,28 @@ def collect_mask_data(env_name: str, n_samples: int, out_dir: str,
     return path
 
 
+def collect_runner_demos(env_name: str, n_episodes: int, demo_dir: str,
+                         cfg: Optional[Config] = None, seed: int = 0):
+    """Scripted demos in the episode-runner format (demo_io) — what
+    `control/episode_runner.py` follows (reference: the collect scripts
+    double as demo generators for src/mbrl/, e.g. collect_pick_data.py)."""
+    from robot_aware_control_tpu.data import demo_io
+
+    env = _make_env(env_name, cfg, seed)
+    behavior, _ = _BEHAVIORS.get(env_name, ("straight_push", "locobot"))
+    return demo_io.collect_demos(env, behavior, n_episodes, demo_dir)
+
+
 def main(argv=None):
     cfg, _ = argparser(argv)
-    collect_training_data(
-        cfg.env, cfg.num_episodes, cfg.data_root, cfg, seed=cfg.seed
-    )
+    if cfg.collect_target in ("train", "both"):
+        collect_training_data(
+            cfg.env, cfg.num_episodes, cfg.data_root, cfg, seed=cfg.seed
+        )
+    if cfg.collect_target in ("demos", "both"):
+        collect_runner_demos(
+            cfg.env, cfg.num_episodes, cfg.demo_dir, cfg, seed=cfg.seed
+        )
 
 
 if __name__ == "__main__":

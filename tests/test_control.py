@@ -107,3 +107,23 @@ def test_skip_subgoal_advances_past_reached_goals(tmp_path):
     advanced = runner._pick_next_goal(curr, goal)
     assert not advanced
     assert runner._g_i == 3
+
+
+def test_collect_cli_demo_target(tmp_path):
+    """`data.collect --collect_target demos` writes episode-runner demos
+    that the runner's demo scan accepts (the CLI path the migration guide
+    documents)."""
+    from robot_aware_control_tpu.data.collect import main as collect_main
+
+    demo_dir = str(tmp_path / "demos")
+    collect_main([
+        "--env", "LocobotPush", "--num_episodes", "2",
+        "--collect_target", "demos", "--demo_dir", demo_dir,
+        "--max_episode_length", "8",
+    ])
+    paths = demo_io.list_demos(demo_dir)
+    assert len(paths) == 2
+    demo = demo_io.load_demo(paths[0])
+    for key in ("observations", "actions", "masks", "qpos", "robot_state"):
+        assert key in demo, key
+    assert demo["observations"].shape[0] == demo["actions"].shape[0] + 1
