@@ -554,20 +554,17 @@ def create_finetune_loaders(config: Config):
     """Few-shot finetune split: first finetune_num_train files train,
     next finetune_num_test test (reference:
     locobot_singleview_dataloader.py:62-96)."""
-    from robot_aware_control_tpu.data.robonet_hdf5 import RoboNetHDF5Dataset
-
     pairs = discover_hdf5(config.data_root)
+    if not pairs:
+        raise FileNotFoundError(f"no hdf5 under {config.data_root}")
     ntr, nte = config.finetune_num_train, config.finetune_num_test
     train_pairs, test_pairs = pairs[:ntr], pairs[ntr:ntr + nte]
+    if not test_pairs:  # tiny trees: reuse the tail of train for eval
+        test_pairs = train_pairs[-1:]
     train_pairs, test_pairs = _host_shard(train_pairs), _host_shard(test_pairs)
-
-    def mk(pairs_, seed, bs):
-        ds = RoboNetHDF5Dataset(
-            [p for p, _ in pairs_], [r for _, r in pairs_], config, seed=seed
-        )
-        return DataLoader(ds, bs, num_workers=config.data_threads, seed=seed)
-
     return (
-        mk(train_pairs, config.seed, _host_batch(config.batch_size)),
-        mk(test_pairs, config.seed + 1, _host_batch(config.test_batch_size)),
+        _mk_loader(config, train_pairs, config.seed,
+                   _host_batch(config.batch_size)),
+        _mk_loader(config, test_pairs, config.seed + 1,
+                   _host_batch(config.test_batch_size)),
     )

@@ -67,14 +67,36 @@ def load_movement_metadata(path: str) -> Dict[str, bool]:
         return pickle.load(f)
 
 
+def evaluate_on_movement_set(cfg, ckpt_path: str):
+    """Evaluate a checkpoint on the high-movement video subset
+    (reference: evaluation/evaluate_obj_movement.py:13-25 — loads the
+    checkpoint and runs the epoch metrics over create_movement_loader)."""
+    from robot_aware_control_tpu.data.loader import create_movement_loaders
+    from robot_aware_control_tpu.evaluation.evaluate_checkpoint import (
+        evaluate_checkpoint,
+    )
+
+    _, test_loader = create_movement_loaders(cfg)
+    return evaluate_checkpoint(cfg, ckpt_path, loader=test_loader)
+
+
 def main(argv=None):
-    """CLI driver (reference: measure_obj_movement.py __main__): labels all
-    videos under data_root and writes obj_movement.pkl there."""
+    """CLI driver. Without --dynamics_model_ckpt: label all videos under
+    data_root and write obj_movement.pkl (reference:
+    measure_obj_movement.py __main__). With --dynamics_model_ckpt:
+    evaluate that checkpoint on the high-movement subset (reference:
+    evaluation/evaluate_obj_movement.py)."""
     from robot_aware_control_tpu.config import argparser
     from robot_aware_control_tpu.data.loader import discover_hdf5
     from robot_aware_control_tpu.data.robonet_hdf5 import RoboNetHDF5Dataset
 
     cfg, _ = argparser(argv)
+    if cfg.dynamics_model_ckpt:
+        import json
+
+        metrics = evaluate_on_movement_set(cfg, cfg.dynamics_model_ckpt)
+        print(json.dumps({k: round(float(v), 5) for k, v in metrics.items()}))
+        return
     pairs = discover_hdf5(cfg.data_root)
     ds = RoboNetHDF5Dataset([p for p, _ in pairs], [r for _, r in pairs], cfg)
     key = pairs[0][1] if pairs else "default"

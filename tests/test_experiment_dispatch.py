@@ -198,3 +198,29 @@ def test_eval_franka_zero_shot(tree, tmp_path):
     metrics = evaluate_checkpoint(ecfg, path)
     assert np.isfinite(metrics["autoreg_world_loss"])
     assert "autoreg_world_psnr" in metrics
+
+
+def test_evaluate_on_movement_set(tree, tmp_path):
+    """Checkpoint eval restricted to high-movement videos
+    (reference: evaluation/evaluate_obj_movement.py:13-25)."""
+    import pickle
+
+    from robot_aware_control_tpu.evaluation.obj_movement import (
+        evaluate_on_movement_set,
+    )
+    from robot_aware_control_tpu.training import checkpoint as ckpt
+
+    cfg = _cfg(tree, tmp_path, "train_locobot_singleview", jobname="premv")
+    tr = PredictionTrainer(cfg)
+    tr.train()
+    path = ckpt.latest_checkpoint(tr.log_dir)
+
+    pairs = DL.discover_hdf5(tree, ["locobot_views"])
+    meta = {p: (i % 2 == 0) for i, (p, _) in enumerate(pairs)}
+    meta_path = str(tmp_path / "mv_eval.pkl")
+    with open(meta_path, "wb") as f:
+        pickle.dump(meta, f)
+    ecfg = _cfg(tree, tmp_path, "generic", world_error_dict=meta_path,
+                jobname="mveval")
+    metrics = evaluate_on_movement_set(ecfg, path)
+    assert np.isfinite(metrics["autoreg_world_loss"])
