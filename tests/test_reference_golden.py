@@ -462,6 +462,88 @@ def test_metrics_parity_vs_reference():
     )
 
 
+def test_locobot_ik_parity_vs_reference():
+    """Our branchless batched locobot IK returns the SAME joint solution as
+    the ACTUAL reference solver — including the nearest-to-current-config
+    selection between the two circle intersections
+    (reference: masks/locobot_analytical_ik.py:28-180)."""
+    sys.path.insert(0, REF)
+    try:
+        from src.env.robotics.masks.locobot_analytical_ik import (
+            AnalyticInverseKinematics,
+        )
+    finally:
+        sys.path.remove(REF)
+
+    from robot_aware_control_tpu.robot import locobot_kinematics as lk
+
+    ik_ref = AnalyticInverseKinematics()
+    alpha = float(-lk.DEFAULT_PITCH)
+    r = np.random.RandomState(5)
+    targets, configs = [], []
+    while len(targets) < 24:
+        t = [r.uniform(0.2, 0.45), r.uniform(-0.2, 0.2), r.uniform(0.1, 0.25)]
+        c = r.uniform(-0.5, 0.5, 4).tolist()
+        if ik_ref.ik(list(t), alpha=alpha, cur_arm_config=c) is not None:
+            targets.append(t)
+            configs.append(c)
+    theta, valid = lk.ik(
+        jnp.asarray(targets, jnp.float32), alpha,
+        jnp.asarray(configs, jnp.float32),
+    )
+    assert bool(np.asarray(valid).all())
+    for i, (t, c) in enumerate(zip(targets, configs)):
+        ref_sol = ik_ref.ik(list(t), alpha=alpha, cur_arm_config=c)
+        np.testing.assert_allclose(
+            np.asarray(theta[i]), np.asarray(ref_sol, np.float32),
+            atol=2e-4, err_msg=f"target {t}",
+        )
+
+    # unreachable target: reference returns None, ours flags invalid
+    far = [[1.5, 0.0, 0.2]]
+    assert ik_ref.ik([1.5, 0.0, 0.2], alpha=alpha) is None
+    _, v = lk.ik(jnp.asarray(far, jnp.float32), alpha, jnp.zeros((1, 4)))
+    assert not bool(np.asarray(v)[0])
+
+
+def test_rotations_convention_vs_reference():
+    """Our rotations are the reference's math under the opposite
+    composition convention: ours(e) = ref(-e)^T elementwise (the reference,
+    src/env/robotics/rotations.py, composes extrinsic Rz*Ry*Rx; ours
+    composes the transpose order) and quats are the matching conjugates up
+    to sign. This locks the exact relationship so neither side can drift —
+    all internal consumers (renderer extrinsics, chain FK) are validated
+    against MuJoCo segmentation oracles in benchmarks/mask_fidelity.py."""
+    sys.path.insert(0, REF)
+    try:
+        import src.env.robotics.rotations as ref_r
+    finally:
+        sys.path.remove(REF)
+
+    from robot_aware_control_tpu.utils import rotations as our_r
+
+    r = np.random.RandomState(9)
+    e = r.uniform(-1.5, 1.5, (32, 3)).astype(np.float64)
+    ours_m = np.asarray(our_r.euler2mat(jnp.asarray(e)))
+    ref_m_t = np.transpose(ref_r.euler2mat(-e), (0, 2, 1))
+    np.testing.assert_allclose(ours_m, ref_m_t, atol=1e-5)
+
+    ours_q = np.asarray(our_r.euler2quat(jnp.asarray(e)))
+    ref_q_conj = ref_r.euler2quat(-e) * np.array([1.0, -1, -1, -1])
+    sign_err = np.minimum(
+        np.abs(ours_q - ref_q_conj).max(-1), np.abs(ours_q + ref_q_conj).max(-1)
+    )
+    assert float(sign_err.max()) < 1e-5
+
+    # quat2mat agrees with the reference verbatim on the SAME quaternion
+    # (quaternion -> matrix has no composition-order freedom)
+    q = ref_r.euler2quat(e)
+    np.testing.assert_allclose(
+        np.asarray(our_r.quat2mat(jnp.asarray(q))), ref_r.quat2mat(q),
+        atol=1e-5,
+    )
+
+
 def test_posterior_stats_parity(ref_and_ours):
     """Posterior mu/logvar (deterministic) match when the next frame is
     supplied; prior z forced for the image path (force_use_prior)."""
