@@ -38,8 +38,16 @@ def gaussian_2d(w, h, mx, my, sx=5.0, sy=5.0, height=100.0):
     return np.clip(z, 0.0, 1.0)
 
 
-def create_heatmaps(states, low, high, robot, viewpoint, target_dim=(64, 48)):
-    """(T, robot_dim) normalized states -> (T, h, w, 1) float32 heatmaps."""
+def create_heatmaps(states, low, high, robot, viewpoint, target_dim=(64, 48),
+                    quantize: bool = False):
+    """(T, robot_dim) normalized states -> (T, h, w, 1) float32 heatmaps.
+
+    quantize=True reproduces the reference exactly: pixel centers truncated
+    with `astype(np.uint8)` (robonet_dataset.py:430) before validity checks
+    and rasterization. The default keeps SUBPIXEL centers — a deliberate
+    improvement (the truncation costs up to a full pixel of eef-position
+    information in the conditioning signal, and uint8 wraps coordinates
+    >=256 back into frame)."""
     states = np.asarray(states, np.float32).copy()
     states[:, :3] = denormalize(states[:, :3], low[:3], high[:3])
     eef = states[:, :3]
@@ -47,6 +55,8 @@ def create_heatmaps(states, low, high, robot, viewpoint, target_dim=(64, 48)):
         eef[:, 2] += _Z_OFFSET[robot]
     w2c, K, odim = calib.robot_camera_info(robot, viewpoint)
     pix = project_eef(eef, w2c, K, target_dim, odim)
+    if quantize:
+        pix = pix.astype(np.uint8).astype(np.float32)
     w, h = target_dim
     maps = np.zeros((len(states), h, w, 1), np.float32)
     for t, (mx, my) in enumerate(pix):

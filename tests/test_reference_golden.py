@@ -544,6 +544,72 @@ def test_rotations_convention_vs_reference():
     )
 
 
+def test_heatmaps_parity_vs_reference():
+    """eef heatmap rendering matches the ACTUAL reference create_heatmaps —
+    projection through the measured camera calibrations, per-robot eef
+    z-offsets, gaussian params, and out-of-frame zeroing
+    (reference: robonet_dataset.py:482-544)."""
+    import types
+
+    for name, attrs in (
+        ("torchvision", {}),
+        ("torchvision.transforms", {"ToTensor": object, "Lambda": object,
+                                    "Compose": object, "Resize": object}),
+        ("torchvision.transforms.functional", {}),
+    ):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(mod, k, v)
+            sys.modules[name] = mod
+    if not hasattr(sys.modules["torchvision"], "transforms"):
+        sys.modules["torchvision"].transforms = sys.modules[
+            "torchvision.transforms"]
+    sys.path.insert(0, REF)
+    try:
+        from src.dataset.robonet.robonet_dataset import (
+            create_heatmaps as ref_create,
+        )
+    finally:
+        sys.path.remove(REF)
+
+    from robot_aware_control_tpu.data.heatmaps import create_heatmaps
+
+    r = np.random.RandomState(17)
+    # sawyer/widowx use the reference's well-formed logitech intrinsics;
+    # bitwise parity expected with the uint8 pixel truncation reproduced
+    for robot, viewpoint in (("sawyer", "sudri0_c0"), ("widowx", "widowx1_c0")):
+        states = r.rand(6, 5).astype(np.float32)
+        low = np.array([0.1, -0.2, 0.05, 0, 0], np.float32)
+        high = np.array([0.5, 0.2, 0.3, 1, 1], np.float32)
+        ref_hm = ref_create(
+            torch.from_numpy(states), torch.from_numpy(low),
+            torch.from_numpy(high), robot, viewpoint,
+        )  # (T, 1, 48, 64)
+        # quantize=True reproduces the reference's uint8 pixel truncation;
+        # the default mode keeps subpixel centers (documented improvement)
+        ours = np.asarray(create_heatmaps(states, low, high, robot, viewpoint,
+                                          quantize=True))
+        ref_nhwc = np.transpose(np.asarray(ref_hm), (0, 2, 3, 1))
+        assert ours.shape == ref_nhwc.shape, (ours.shape, ref_nhwc.shape)
+        np.testing.assert_allclose(ours, ref_nhwc, atol=1e-4,
+                                   err_msg=f"{robot} {viewpoint}")
+
+    # locobot: the reference's intel_realsense_d435 K matrix is MALFORMED —
+    # fy sits in row 1 column 0 (camera_calibration.py:171-175), so its
+    # y-pixel projection reads the camera-frame X coordinate. Ours stores
+    # the standard form; assert both facts so the deviation stays documented.
+    from src.utils.camera_calibration import cam_intrinsics_dict
+
+    from robot_aware_control_tpu.data import calibration as calib
+
+    ref_K = cam_intrinsics_dict["intel_realsense_d435"]
+    assert ref_K[1][0] == 612.56 and ref_K[1][1] == 0.0  # the bug
+    _, our_K, _ = calib.robot_camera_info("locobot", "c0")
+    assert our_K[1, 0] == 0.0 and our_K[1, 1] == 612.56  # the fix
+    assert np.allclose(np.asarray(ref_K)[0], np.asarray(our_K)[0])
+
+
 def test_posterior_stats_parity(ref_and_ours):
     """Posterior mu/logvar (deterministic) match when the next frame is
     supplied; prior z forced for the image path (force_use_prior)."""
