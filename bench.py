@@ -52,10 +52,33 @@ REFERENCE_ROLLOUTS_PER_SEC = 117.4
 REFERENCE_TRAIN_FRAMES_PER_SEC = 807.5
 
 
+def _ensure_backend() -> str:
+    """Return the platform actually benchmarked. If the TPU backend fails
+    to initialize (the axon tunnel has outages — UNAVAILABLE at init), fall
+    back to CPU so the run still records a labeled number instead of
+    crashing; the JSON unit string carries the platform so a fallback can
+    never be misread as a TPU regression."""
+    import sys
+
+    try:
+        return jax.devices()[0].platform
+    except RuntimeError as e:
+        print(f"TPU backend unavailable ({e}); benchmarking on CPU instead",
+              file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+        return jax.devices()[0].platform
+
+
+def _platform_tag(platform: str) -> str:
+    return "" if platform == "tpu" else f", {platform}-fallback"
+
+
 def bench_train(smoke: bool):
     import sys
 
     import jax.numpy as jnp
+
+    platform = _ensure_backend()
 
     from robot_aware_control_tpu.config import Config
     from robot_aware_control_tpu.models.registry import get_model
@@ -162,7 +185,7 @@ def bench_train(smoke: bool):
         "metric": "svg_train_frames_per_sec_per_chip",
         "value": round(fps, 2),
         "unit": f"frames/s/chip (whole-window step, batch {B}, "
-                f"{S} steps/dispatch, one sync)",
+                f"{S} steps/dispatch, one sync{_platform_tag(platform)})",
         "vs_baseline": round(fps / REFERENCE_TRAIN_FRAMES_PER_SEC, 3),
     }))
 
@@ -172,6 +195,7 @@ def main():
         bench_train(bool(int(os.environ.get("BENCH_SMOKE", "0"))))
         return
     smoke = bool(int(os.environ.get("BENCH_SMOKE", "0")))
+    platform = _ensure_backend()
 
     from robot_aware_control_tpu.config import Config
     from robot_aware_control_tpu.models.registry import get_model
@@ -238,7 +262,8 @@ def main():
     print(json.dumps({
         "metric": "cem_model_rollouts_per_sec",
         "value": round(rps, 2),
-        "unit": "rollouts/s (K x H model steps each, full CEM on device)",
+        "unit": "rollouts/s (K x H model steps each, full CEM on device"
+                f"{_platform_tag(platform)})",
         "vs_baseline": round(rps / REFERENCE_ROLLOUTS_PER_SEC, 3),
     }))
 
