@@ -196,6 +196,13 @@ def main():
         return
     smoke = bool(int(os.environ.get("BENCH_SMOKE", "0")))
     platform = _ensure_backend()
+    if platform != "tpu" and not smoke:
+        # full shapes take >30 min to compile+run on host CPU; a fallback
+        # run should finish, and it is labeled as non-TPU either way
+        import sys
+
+        print("non-TPU platform: switching to smoke shapes", file=sys.stderr)
+        smoke = True
 
     from robot_aware_control_tpu.config import Config
     from robot_aware_control_tpu.models.registry import get_model
