@@ -89,3 +89,27 @@ def test_async_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(out["params"]["w"]),
                                   np.arange(12.0).reshape(3, 4))
     ckpt.wait_for_checkpoints()  # idempotent when drained
+
+
+def test_training_reproducible_same_seed(tmp_path):
+    """Two fresh trainers with the same seed produce IDENTICAL logged
+    metrics — full-run reproducibility (data order, scheduled-sampling
+    draws, latents, and init all flow from cfg.seed)."""
+    import json
+
+    def run(jobname):
+        tr = PredictionTrainer(_cfg(tmp_path, jobname=jobname, niter=2,
+                                    epoch_size=2))
+        tr.train()
+        path = os.path.join(tr.log_dir, "metrics.jsonl")
+        with open(path) as f:
+            return [json.loads(l) for l in f if l.strip()]
+
+    m1, m2 = run("rep1"), run("rep2")
+    assert len(m1) == len(m2) and len(m1) > 0
+    for a, b in zip(m1, m2):
+        for k in a:
+            if (isinstance(a[k], float) and "per_sec" not in k
+                    and k not in ("wall_s", "ts", "time")):
+                np.testing.assert_allclose(a[k], b[k], rtol=0, atol=0,
+                                           err_msg=k)
