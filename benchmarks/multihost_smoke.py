@@ -130,7 +130,7 @@ def main():
     ]
     ok = True
     for i, p in enumerate(procs):
-        out, _ = p.communicate(timeout=540)
+        out, _ = p.communicate(timeout=900)
         text = out.decode()
         if p.returncode != 0 or "MULTIHOST OK" not in text:
             ok = False

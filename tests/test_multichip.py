@@ -225,7 +225,7 @@ def test_two_process_multihost_smoke():
 
     r = subprocess.run(
         [sys.executable, "benchmarks/multihost_smoke.py", "--port", "8627"],
-        capture_output=True, timeout=700, cwd="/root/repo",
+        capture_output=True, timeout=1100, cwd="/root/repo",
     )
     out = r.stdout.decode()
     assert r.returncode == 0, out + r.stderr.decode()

@@ -95,6 +95,32 @@ def _inputs(seed):
     }
 
 
+def _install_stubs():
+    """Idempotently stub skimage/torchvision (only the blur cost and the
+    color-jitter aug need them) so reference modules import; adds any
+    missing attribute even when a previous test created the module."""
+    import types
+
+    for name, attrs in (
+        ("skimage", {}),
+        ("skimage.filters", {"gaussian": None}),
+        ("torchvision", {}),
+        ("torchvision.transforms", {"ToTensor": object, "Lambda": object,
+                                    "Compose": object, "Resize": object}),
+        ("torchvision.transforms.functional", {}),
+    ):
+        mod = sys.modules.get(name)
+        if mod is None:
+            mod = types.ModuleType(name)
+            sys.modules[name] = mod
+        for k, v in attrs.items():
+            if not hasattr(mod, k):
+                setattr(mod, k, v)
+    sys.modules["skimage"].filters = sys.modules["skimage.filters"]
+    sys.modules["torchvision"].transforms = sys.modules[
+        "torchvision.transforms"]
+
+
 def _t(x):  # NHWC numpy -> NCHW torch
     return torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
 
@@ -297,22 +323,7 @@ def test_planning_cost_parity_vs_reference():
     """Our batched planning costs match the ACTUAL reference Cost classes
     (reference: losses.py:172-335, tensor paths) — RobotL2, ImgL2,
     ImgDontcare, and the weighted RobotWorldCost combination."""
-    import types
-
-    # losses.py imports skimage/torchvision only for the blur cost — stub
-    for name, attrs in (
-        ("skimage", {}),
-        ("skimage.filters", {"gaussian": None}),
-        ("torchvision", {}),
-        ("torchvision.transforms", {"ToTensor": object}),
-    ):
-        if name not in sys.modules:
-            mod = types.ModuleType(name)
-            for k, v in attrs.items():
-                setattr(mod, k, v)
-            sys.modules[name] = mod
-    if not hasattr(sys.modules["skimage"], "filters"):
-        sys.modules["skimage"].filters = sys.modules["skimage.filters"]
+    _install_stubs()
     sys.path.insert(0, REF)
     try:
         from src.prediction.losses import RobotWorldCost as RefRWC
@@ -373,17 +384,7 @@ def test_loss_criteria_parity_vs_reference():
     (reference: losses.py:11-106) — incl. the weight-inside-square quirk
     of dontcare (robot_weight multiplies diff before squaring) and the
     exact (+1) world/robot pixel denominators."""
-    import types
-
-    for name, attrs in (
-        ("skimage", {}), ("skimage.filters", {"gaussian": None}),
-        ("torchvision", {}), ("torchvision.transforms", {"ToTensor": object}),
-    ):
-        if name not in sys.modules:
-            mod = types.ModuleType(name)
-            for k, v in attrs.items():
-                setattr(mod, k, v)
-            sys.modules[name] = mod
+    _install_stubs()
     sys.path.insert(0, REF)
     try:
         import src.prediction.losses as ref_l
@@ -549,22 +550,7 @@ def test_heatmaps_parity_vs_reference():
     projection through the measured camera calibrations, per-robot eef
     z-offsets, gaussian params, and out-of-frame zeroing
     (reference: robonet_dataset.py:482-544)."""
-    import types
-
-    for name, attrs in (
-        ("torchvision", {}),
-        ("torchvision.transforms", {"ToTensor": object, "Lambda": object,
-                                    "Compose": object, "Resize": object}),
-        ("torchvision.transforms.functional", {}),
-    ):
-        if name not in sys.modules:
-            mod = types.ModuleType(name)
-            for k, v in attrs.items():
-                setattr(mod, k, v)
-            sys.modules[name] = mod
-    if not hasattr(sys.modules["torchvision"], "transforms"):
-        sys.modules["torchvision"].transforms = sys.modules[
-            "torchvision.transforms"]
+    _install_stubs()
     sys.path.insert(0, REF)
     try:
         from src.dataset.robonet.robonet_dataset import (
