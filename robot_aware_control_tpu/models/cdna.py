@@ -22,6 +22,18 @@ accidentally swaps the two MaskDecoder output halves (vgg_64.py:295-296
 returns (kernel, mask) but dynamics' CDNADecoder unpacks (mask, kernel),
 so raw un-normalized maps are used as compositing masks). Here masks are
 softmaxed across flows per pixel — the standard CDNA formulation.
+
+This family is a redesign of INTENT, not of shipped behavior: the
+reference's CDNA models cannot execute at all (verified by
+instantiation). `cdna_det` crashes at construction — dynamics.py:660
+passes `cf.batch_size` (an int) where ConvLSTM reads
+`config.lstm_group_norm` (lstm.py:206); `RobonetCDNAModel` crashes at
+its first forward — cdna.py:171 tests `isinstance(inputs, tf.Tensor)`
+with the tensorflow import commented out (cdna.py:5); and
+dynamics.py:724 passes 4 args to CDNADecoder.forward's 3 params.
+The only runnable piece, the numpy path of `apply_cdna_kernels_torch`,
+is golden-tested against `apply_cdna_kernels` below
+(tests/test_reference_golden.py::test_cdna_kernel_warp_parity).
 """
 
 from __future__ import annotations

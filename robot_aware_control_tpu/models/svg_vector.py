@@ -81,14 +81,12 @@ def attention(params, feats):
 
 
 def mlp_encoder_init(key, din, dout, hidden=32):
-    """(reference: src/prediction/models/base.py:5-20)"""
-    k1, k2 = jax.random.split(key)
-    return {"l1": nn.linear_init(k1, din, hidden),
-            "l2": nn.linear_init(k2, hidden, dout)}
+    """Linear -> Tanh -> Linear (reference: src/prediction/models/base.py:5-23)."""
+    return nn.mlp_encoder_init(key, din, dout, hidden)
 
 
 def mlp_encoder(params, x):
-    return nn.linear(params["l2"], jax.nn.relu(nn.linear(params["l1"], x)))
+    return nn.mlp_encoder(params, x)
 
 
 def _init_common(key, cfg: Config, stochastic: bool):

@@ -164,6 +164,102 @@ def import_det_conv_model(sd: Dict[str, np.ndarray], fh: int, fw: int
     return params, state
 
 
+def _fc_lstm_cells(sd, prefix):
+    """torch nn.LSTMCell list -> our lstm_cell params (gate order i,f,g,o
+    matches, reference lstm.py:24-26); both torch biases are kept (they sum)."""
+    cells = []
+    i = 0
+    while f"{prefix}.lstm.{i}.weight_ih" in sd:
+        cells.append({
+            "ih": {"w": np.transpose(sd[f"{prefix}.lstm.{i}.weight_ih"]).copy(),
+                   "b": sd[f"{prefix}.lstm.{i}.bias_ih"].copy()},
+            "hh": {"w": np.transpose(sd[f"{prefix}.lstm.{i}.weight_hh"]).copy(),
+                   "b": sd[f"{prefix}.lstm.{i}.bias_hh"].copy()},
+        })
+        i += 1
+    return cells
+
+
+def import_fc_lstm(sd, prefix):
+    """reference LSTM (lstm.py:10-55): embed -> LSTMCells -> Linear+Tanh."""
+    return {"embed": _linear(sd, f"{prefix}.embed"),
+            "cells": _fc_lstm_cells(sd, prefix),
+            "out": _linear(sd, f"{prefix}.output.0")}
+
+
+def import_gaussian_fc_lstm(sd, prefix):
+    """reference GaussianLSTM (lstm.py:58-106)."""
+    return {"embed": _linear(sd, f"{prefix}.embed"),
+            "cells": _fc_lstm_cells(sd, prefix),
+            "mu": _linear(sd, f"{prefix}.mu_net"),
+            "logvar": _linear(sd, f"{prefix}.logvar_net")}
+
+
+def import_mlp_encoder(sd, prefix):
+    """reference MLPEncoder (base.py:5-23): Linear -> Tanh -> Linear."""
+    return {"l1": _linear(sd, f"{prefix}.output.0"),
+            "l2": _linear(sd, f"{prefix}.output.2")}
+
+
+def import_encoder(sd, prefix="encoder"):
+    """Vector-bottleneck Encoder (reference vgg_64.py:21-84)."""
+    params, state = {}, {}
+    params["c1"], state["c1"] = _vgg_stack(sd, f"{prefix}.c1", 2)
+    params["c2"], state["c2"] = _vgg_stack(sd, f"{prefix}.c2", 2)
+    params["c3"], state["c3"] = _vgg_stack(sd, f"{prefix}.c3", 3)
+    params["c4"], state["c4"] = _vgg_stack(sd, f"{prefix}.c4", 3)
+    params["c5"] = {"conv": _conv(sd, f"{prefix}.c5.0")}
+    bn_p, bn_s = _bn(sd, f"{prefix}.c5.1")
+    params["c5"]["bn"] = bn_p
+    state["c5"] = {"bn": bn_s}
+    return params, state
+
+
+def import_decoder(sd, prefix="decoder"):
+    """Vector Decoder (reference vgg_64.py:146-193); both ConvTranspose2d
+    layers map through the flipped-kernel conversion (verified vs torch)."""
+    params, state = {}, {}
+    params["upc1"] = {"conv": {
+        "w": conv_transpose_w(sd[f"{prefix}.upc1.0.weight"]),
+        "b": sd[f"{prefix}.upc1.0.bias"].copy(),
+    }}
+    bn_p, bn_s = _bn(sd, f"{prefix}.upc1.1")
+    params["upc1"]["bn"] = bn_p
+    state["upc1"] = {"bn": bn_s}
+    params["upc2"], state["upc2"] = _vgg_stack(sd, f"{prefix}.upc2", 3)
+    params["upc3"], state["upc3"] = _vgg_stack(sd, f"{prefix}.upc3", 3)
+    params["upc4"], state["upc4"] = _vgg_stack(sd, f"{prefix}.upc4", 2)
+    l0, s0 = _vgg_layer(sd, f"{prefix}.upc5.0")
+    params["upc5"], state["upc5"] = [l0], [s0]
+    params["out"] = {
+        "w": conv_transpose_w(sd[f"{prefix}.upc5.1.weight"]),
+        "b": sd[f"{prefix}.upc5.1.bias"].copy(),
+    }
+    return params, state
+
+
+def import_det_vector_model(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
+    """torch DeterministicModel (vector, reference dynamics.py:75-156)
+    state_dict -> (params, bn_state) for models/svg_vector.py:det."""
+    params, state = {}, {}
+    params["encoder"], state["encoder"] = import_encoder(sd)
+    params["decoder"], state["decoder"] = import_decoder(sd)
+    params["action_enc"] = import_mlp_encoder(sd, "action_enc")
+    if "robot_enc.output.0.weight" in sd:
+        params["robot_enc"] = import_mlp_encoder(sd, "robot_enc")
+    params["frame_lstm"] = import_fc_lstm(sd, "frame_predictor")
+    return params, state
+
+
+def import_svg_vector_model(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
+    """torch SVGModel (vector, reference dynamics.py:159-266) state_dict
+    -> (params, bn_state) for models/svg_vector.py."""
+    params, state = import_det_vector_model(sd)
+    params["prior"] = import_gaussian_fc_lstm(sd, "prior")
+    params["posterior"] = import_gaussian_fc_lstm(sd, "posterior")
+    return params, state
+
+
 def import_svg_conv_model(sd: Dict[str, np.ndarray]) -> Tuple[Dict, Dict]:
     """torch SVGConvModel state_dict -> (params, bn_state) for models/svg.py."""
     params, state = {}, {}

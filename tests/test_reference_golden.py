@@ -640,3 +640,212 @@ def test_posterior_stats_parity(ref_and_ours):
     np.testing.assert_allclose(
         np.asarray(out["x_pred"]), _n(x_pred_t), atol=5e-5, rtol=1e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# Vector-latent models (reference dynamics.py:75-266: DeterministicModel /
+# SVGModel with fc-LSTM bottleneck, vgg_64 Encoder/Decoder, MLPEncoders)
+
+VH = VW = 64  # vector Encoder's c5 is a 4x4 VALID conv -> needs 64x64 input
+
+
+class _VecRefCfg(_RefCfg):
+    image_height = VH
+    image_width = VW
+    action_enc_dim = 2
+    robot_enc_dim = 6
+    rnn_size = 32
+    predictor_rnn_layers = 2
+    posterior_rnn_layers = 2
+    prior_rnn_layers = 2
+    dropout = None
+
+
+def _vec_inputs(seed):
+    r = np.random.RandomState(seed)
+    return {
+        "image": r.rand(B, VH, VW, 3).astype(np.float32),
+        "mask": (r.rand(B, VH, VW, 1) > 0.8).astype(np.float32),
+        "robot": r.rand(B, R_DIM).astype(np.float32),
+        "action": (r.rand(B, A_DIM) - 0.5).astype(np.float32),
+    }
+
+
+def _vec_cfg(model):
+    return Config(
+        model=model, g_dim=G_DIM, z_dim=Z_DIM, action_dim=A_DIM,
+        robot_dim=R_DIM, image_height=VH, image_width=VW, rnn_size=32,
+        model_use_mask=True, model_use_robot_state=True,
+        last_frame_skip=False, compute_dtype="float32",
+    )
+
+
+@pytest.fixture(scope="module")
+def vec_ref_and_ours():
+    """Reference SVGModel (vector) with z = mu patched in for determinism."""
+    sys.path.insert(0, REF)
+    try:
+        from src.prediction.models.dynamics import SVGModel
+        from src.prediction.models import lstm as ref_lstm
+    finally:
+        sys.path.remove(REF)
+
+    torch.manual_seed(2)
+    ref = SVGModel(_VecRefCfg()).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, bn = TI.import_svg_vector_model(sd)
+    orig_rep = ref_lstm.GaussianLSTM.reparameterize
+    ref_lstm.GaussianLSTM.reparameterize = lambda self, mu, logvar: mu
+    yield ref, _vec_cfg("svg_vec"), params, bn
+    ref_lstm.GaussianLSTM.reparameterize = orig_rep
+
+
+def test_svg_vec_single_step_parity(vec_ref_and_ours):
+    """Full forward incl. posterior stats; z forced to the prior mean on
+    both sides (force_use_prior + sample_mean / patched reparameterize)."""
+    from robot_aware_control_tpu.models import svg_vector
+
+    ref, cfg, params, bn = vec_ref_and_ours
+    inp, nxt = _vec_inputs(50), _vec_inputs(51)
+    ref.init_hidden(B)
+    with torch.no_grad():
+        x_pred_t, _, mu_t, logvar_t, mu_p_t, logvar_p_t = ref(
+            _t(inp["image"]), _t(inp["mask"]), torch.from_numpy(inp["robot"]),
+            torch.from_numpy(inp["action"]), _t(nxt["image"]), _t(nxt["mask"]),
+            torch.from_numpy(nxt["robot"]), skip=None, force_use_prior=True,
+        )
+    carry = svg_vector.init_carry(cfg, B)
+    out, _, _ = svg_vector.step(
+        cfg, params, bn, carry, image=jnp.asarray(inp["image"]),
+        mask=jnp.asarray(inp["mask"]), robot=jnp.asarray(inp["robot"]),
+        heatmap=None, action=jnp.asarray(inp["action"]),
+        rng=jax.random.PRNGKey(0), next_image=jnp.asarray(nxt["image"]),
+        next_mask=jnp.asarray(nxt["mask"]),
+        next_robot=jnp.asarray(nxt["robot"]), skip=None,
+        force_use_prior=True, sample_mean=True, train=False,
+    )
+    for ours, theirs, name in (
+        (out["mu_p"], mu_p_t, "mu_p"), (out["logvar_p"], logvar_p_t, "logvar_p"),
+        (out["mu"], mu_t, "mu"), (out["logvar"], logvar_t, "logvar"),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(ours), theirs.detach().numpy(), atol=5e-5, rtol=1e-4,
+            err_msg=name,
+        )
+    np.testing.assert_allclose(
+        np.asarray(out["x_pred"]), _n(x_pred_t), atol=5e-5, rtol=1e-4
+    )
+
+
+def test_svg_vec_autoregressive_parity(vec_ref_and_ours):
+    """5-step prior-only rollout (z = prior mean), frozen first-step skip;
+    vector models output the full frame (no attention composite)."""
+    from robot_aware_control_tpu.models import svg_vector
+
+    ref, cfg, params, bn = vec_ref_and_ours
+    steps = [_vec_inputs(60 + t) for t in range(5)]
+    x0 = steps[0]["image"]
+
+    ref.init_hidden(B)
+    skip_t, x_t, ref_frames = None, _t(x0), []
+    with torch.no_grad():
+        for t, s in enumerate(steps):
+            x_pred, skip_used, *_ = ref(
+                x_t, _t(s["mask"]), torch.from_numpy(s["robot"]),
+                torch.from_numpy(s["action"]), None, None, None, skip=skip_t,
+            )
+            if t == 0:
+                skip_t = skip_used
+            x_t = x_pred
+            ref_frames.append(_n(x_t))
+
+    carry = svg_vector.init_carry(cfg, B)
+    skip_j, x_j = None, jnp.asarray(x0)
+    for t, s in enumerate(steps):
+        out, carry, _ = svg_vector.step(
+            cfg, params, bn, carry, image=x_j, mask=jnp.asarray(s["mask"]),
+            robot=jnp.asarray(s["robot"]), heatmap=None,
+            action=jnp.asarray(s["action"]), rng=jax.random.PRNGKey(t),
+            skip=skip_j, sample_mean=True, train=False,
+        )
+        if t == 0:
+            skip_j = out["skip"]
+        x_j = out["x_pred"]
+        np.testing.assert_allclose(
+            np.asarray(x_j), ref_frames[t], atol=1e-4 * (t + 1), rtol=1e-3,
+            err_msg=f"step {t}",
+        )
+
+
+@pytest.fixture(scope="module")
+def det_vec_ref_and_ours():
+    sys.path.insert(0, REF)
+    try:
+        from src.prediction.models.dynamics import DeterministicModel
+    finally:
+        sys.path.remove(REF)
+
+    torch.manual_seed(3)
+    ref = DeterministicModel(_VecRefCfg()).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, bn = TI.import_det_vector_model(sd)
+    return ref, _vec_cfg("det_vec"), params, bn
+
+
+def test_det_vec_single_step_parity(det_vec_ref_and_ours):
+    from robot_aware_control_tpu.models import svg_vector
+
+    ref, cfg, params, bn = det_vec_ref_and_ours
+    inp = _vec_inputs(70)
+    ref.init_hidden(B)
+    with torch.no_grad():
+        x_pred_t, _ = ref(
+            _t(inp["image"]), _t(inp["mask"]), torch.from_numpy(inp["robot"]),
+            torch.from_numpy(inp["action"]), skip=None,
+        )
+    carry = svg_vector.det.init_carry(cfg, B)
+    out, _, _ = svg_vector.det.step(
+        cfg, params, bn, carry, jnp.asarray(inp["image"]),
+        jnp.asarray(inp["mask"]), jnp.asarray(inp["robot"]),
+        jnp.asarray(inp["action"]), skip=None, train=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["x_pred"]), _n(x_pred_t), atol=5e-5, rtol=1e-4
+    )
+
+
+def test_det_vec_autoregressive_parity(det_vec_ref_and_ours):
+    from robot_aware_control_tpu.models import svg_vector
+
+    ref, cfg, params, bn = det_vec_ref_and_ours
+    steps = [_vec_inputs(80 + t) for t in range(5)]
+    x0 = steps[0]["image"]
+
+    ref.init_hidden(B)
+    skip_t, x_t, ref_frames = None, _t(x0), []
+    with torch.no_grad():
+        for t, s in enumerate(steps):
+            x_pred, skip_used = ref(
+                x_t, _t(s["mask"]), torch.from_numpy(s["robot"]),
+                torch.from_numpy(s["action"]), skip=skip_t,
+            )
+            if t == 0:
+                skip_t = skip_used
+            x_t = x_pred
+            ref_frames.append(_n(x_t))
+
+    carry = svg_vector.det.init_carry(cfg, B)
+    skip_j, x_j = None, jnp.asarray(x0)
+    for t, s in enumerate(steps):
+        out, carry, _ = svg_vector.det.step(
+            cfg, params, bn, carry, x_j, jnp.asarray(s["mask"]),
+            jnp.asarray(s["robot"]), jnp.asarray(s["action"]),
+            skip=skip_j, train=False,
+        )
+        if t == 0:
+            skip_j = out["skip"]
+        x_j = out["x_pred"]
+        np.testing.assert_allclose(
+            np.asarray(x_j), ref_frames[t], atol=1e-4 * (t + 1), rtol=1e-3,
+            err_msg=f"step {t}",
+        )
