@@ -209,6 +209,10 @@ def main():
     from robot_aware_control_tpu.planning.cem import CEMPolicy
     from robot_aware_control_tpu.utils.state import DemoGoalState, State
 
+    # BENCH_QUANT=1: int8 MXU planning path (ops/quant.py) — the v5e int8
+    # peak is 2x bf16, and CEM is forward-only; rollout accuracy bounds in
+    # tests/test_quant.py
+    quantize = bool(int(os.environ.get("BENCH_QUANT", "0")))
     cfg = Config(
         model="svg",
         g_dim=64 if smoke else 256,
@@ -229,6 +233,7 @@ def main():
         action_candidates=16 if smoke else 100,
         topk=5,
         cem_init_std=0.015,
+        plan_quantize="int8" if quantize else "none",
     )
     params, bn = get_model(cfg).init(jax.random.PRNGKey(0), cfg)
     policy = CEMPolicy(cfg, params, bn)
@@ -270,7 +275,7 @@ def main():
         "metric": "cem_model_rollouts_per_sec",
         "value": round(rps, 2),
         "unit": "rollouts/s (K x H model steps each, full CEM on device"
-                f"{_platform_tag(platform)})",
+                f"{', int8' if quantize else ''}{_platform_tag(platform)})",
         "vs_baseline": round(rps / REFERENCE_ROLLOUTS_PER_SEC, 3),
     }))
 

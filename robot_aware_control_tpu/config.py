@@ -121,6 +121,10 @@ class Config:
     # TPU-only: fused Pallas ConvLSTM cells on inference paths (planning /
     # eval). Training keeps the XLA cells (the fused cell has no VJP).
     fused_lstm: bool = True
+    # int8 MXU planning path (none|int8): quantize the rollout convs for
+    # CEM — forward-only, 2x FLOP ceiling on v5e (ops/quant.py). No
+    # reference analogue; OFF by default.
+    plan_quantize: str = "none"
     # orbax directory checkpoints (auto-enabled under multi-process JAX)
     sharded_checkpoint: bool = False
     sample_mean: bool = False

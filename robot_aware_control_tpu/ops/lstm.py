@@ -114,6 +114,10 @@ def _fused_active(fused: bool, group_norm_cells: bool) -> bool:
 
 
 def conv_lstm(params, state, x, group_norm_cells=False, fused=False):
+    # int8-quantized gates (ops/quant.py) go through the XLA conv path —
+    # the fused Pallas cell reads the float "w" layout
+    if "w_q" in params["cell0"]["gates"]:
+        fused = False
     if _fused_active(fused, group_norm_cells):
         from robot_aware_control_tpu.ops import pallas_kernels as pk
 

@@ -30,6 +30,7 @@ import numpy as np
 
 from robot_aware_control_tpu.config import Config
 from robot_aware_control_tpu.data.norm import LOCOBOT_HIGH, LOCOBOT_LOW, normalize
+from robot_aware_control_tpu.ops import quant
 from robot_aware_control_tpu.planning.rollout import RolloutEngine, TrajectorySampler
 from robot_aware_control_tpu.utils.state import DemoGoalState, State
 
@@ -48,7 +49,9 @@ class CEMPolicy:
         # sampled planar actions are zero-padded to the model's action space
         # (reference: cem.py:86 pads 2-D planar actions to 5-D robonet actions)
         self.pad_to = cfg.action_dim
-        self.params = params
+        # --plan_quantize int8: rollout convs run on the int8 MXU path
+        # (ops/quant.py; planning is forward-only)
+        self.params = quant.maybe_quantize_plan_params(cfg, params)
         self.bn = bn
         self.horizon = horizon or cfg.horizon
         self.opt_iter = opt_iter or cfg.opt_iter

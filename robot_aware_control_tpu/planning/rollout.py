@@ -331,7 +331,10 @@ class TrajectorySampler:
 
     def __init__(self, cfg: Config, params, bn, **engine_kw):
         self.cfg = cfg
-        self.params = params
+        # --plan_quantize int8 (ops/quant.py; idempotent if the caller —
+        # e.g. CEMPolicy — already transformed the tree)
+        from robot_aware_control_tpu.ops import quant
+        self.params = quant.maybe_quantize_plan_params(cfg, params)
         self.bn = bn
         self.engine = RolloutEngine(cfg, **engine_kw)
         self._jit_cost = jax.jit(
