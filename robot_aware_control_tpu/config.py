@@ -125,6 +125,10 @@ class Config:
     # CEM — forward-only, 2x FLOP ceiling on v5e (ops/quant.py). No
     # reference analogue; OFF by default.
     plan_quantize: str = "none"
+    # planning-as-a-service endpoint (control/plan_server.py): one warm
+    # compiled CEM program on the TPU host, robot clients over TCP
+    plan_server_host: str = "127.0.0.1"
+    plan_server_port: int = 0
     # orbax directory checkpoints (auto-enabled under multi-process JAX)
     sharded_checkpoint: bool = False
     sample_mean: bool = False

@@ -1,0 +1,134 @@
+"""Planning-as-a-service tests: a warm PlanServer thread serving a real
+CEMPolicy over TCP, exercised by the numpy-only PlanClient / RemotePolicy
+(control/plan_server.py; the reference plans in-process in its ROS node,
+locobot_rospkg/nodes/visual_MPC_controller.py:319-340)."""
+
+import numpy as np
+import pytest
+
+from robot_aware_control_tpu.config import Config
+from robot_aware_control_tpu.control.plan_server import (
+    PlanClient,
+    PlanServer,
+    RemotePolicy,
+)
+from robot_aware_control_tpu.models.registry import get_model
+from robot_aware_control_tpu.planning.cem import CEMPolicy
+from robot_aware_control_tpu.utils.state import DemoGoalState, State
+
+CFG = Config(
+    model="svg",
+    g_dim=16,
+    z_dim=4,
+    image_width=64,
+    image_height=48,
+    action_dim=5,
+    robot_dim=5,
+    robot_joint_dim=5,
+    model_use_mask=True,
+    model_use_robot_state=True,
+    reconstruction_loss="dontcare_l1",
+    reward_type="dontcare",
+    compute_dtype="float32",
+    horizon=3,
+    opt_iter=2,
+    action_candidates=8,
+    topk=3,
+    cem_init_std=0.015,
+)
+
+
+@pytest.fixture(scope="module")
+def served():
+    import jax
+
+    params, bn = get_model(CFG).init(jax.random.PRNGKey(0), CFG)
+    server = PlanServer(CFG, params, bn)
+    thread = server.start()
+    yield server, params, bn
+    server._shutdown = True
+    server.close()
+    thread.join(timeout=5)
+
+
+def _start_goal(rng):
+    h, w = CFG.image_height, CFG.image_width
+    start = State(
+        img=rng.rand(h, w, 3).astype(np.float32),
+        state=np.array([0.3, 0.0, 0.15, 0.0, 0.0], np.float32),
+        qpos=np.zeros(5, np.float32),
+    )
+    goal = DemoGoalState(
+        imgs=[rng.rand(h, w, 3).astype(np.float32) for _ in range(2)],
+        masks=[np.zeros((h, w), np.float32) for _ in range(2)],
+    )
+    return start, goal
+
+
+def test_plan_matches_local_policy(served, rng):
+    """The served plan is bit-identical to in-process CEMPolicy.get_action
+    for the same (params, start, goal, ep_num, step)."""
+    server, params, bn = served
+    start, goal = _start_goal(rng)
+    client = PlanClient(*server.address)
+    try:
+        info = client.info()
+        assert info["horizon"] == CFG.horizon
+        assert info["action_candidates"] == CFG.action_candidates
+        remote = client.plan(start, goal, ep_num=1, step=2)
+        assert client.last_plan_s is not None
+        local = CEMPolicy(CFG, params, bn).get_action(
+            start, goal, ep_num=1, step=2)
+        np.testing.assert_array_equal(remote, np.asarray(local, np.float32))
+        assert remote.shape == (CFG.horizon - 1, 2)
+    finally:
+        client.close()
+
+
+def test_sequential_clients_and_errors(served, rng):
+    """The server survives a bad request and serves a SECOND connection
+    after the first closes (serve_forever accept loop)."""
+    server, _, _ = served
+    start, goal = _start_goal(rng)
+    c1 = PlanClient(*server.address)
+    with pytest.raises(RuntimeError, match="unknown cmd"):
+        c1._call("bogus")
+    assert c1.ping()["ok"]
+    c1.close()
+
+    policy = RemotePolicy(*server.address)
+    try:
+        plan = policy.get_action(start, goal, ep_num=0, step=0)
+        assert plan.shape == (CFG.horizon - 1, 2)
+        assert np.isfinite(plan).all()
+        # deterministic service: same request -> same plan
+        np.testing.assert_array_equal(
+            plan, policy.get_action(start, goal, ep_num=0, step=0))
+        with pytest.raises(ValueError, match="rng is server-side"):
+            policy.get_action(start, goal, rng=np.random.RandomState(0))
+    finally:
+        policy.close()
+
+
+def test_demo_seeded_plan_roundtrip(rng):
+    """opt_traj (demo-seeded CEM mean, planning/cem.py:75-85) crosses the
+    wire and changes the plan under --demo_cost."""
+    import dataclasses
+
+    import jax
+
+    cfg = dataclasses.replace(CFG, demo_cost=True)
+    params, bn = get_model(cfg).init(jax.random.PRNGKey(0), cfg)
+    server = PlanServer(cfg, params, bn)
+    thread = server.start()
+    start, goal = _start_goal(rng)
+    opt = 0.03 * rng.randn(cfg.horizon - 1, 2).astype(np.float32)
+    client = PlanClient(*server.address)
+    try:
+        base = client.plan(start, goal, ep_num=3, step=0)
+        seeded = client.plan(start, goal, ep_num=3, step=0, opt_traj=opt)
+        assert np.abs(base - seeded).max() > 0
+    finally:
+        client.close(shutdown_server=True)
+        server.close()
+        thread.join(timeout=5)
