@@ -68,7 +68,8 @@ class PlanServer:
     """
 
     def __init__(self, cfg: Config, params, bn, policy_cls=None,
-                 host: str = "127.0.0.1", port: int = 0, **policy_kw):
+                 host: str = "127.0.0.1", port: int = 0,
+                 batch_plans: bool = True, **policy_kw):
         from robot_aware_control_tpu.planning.cem import CEMPolicy
 
         self.cfg = cfg
@@ -77,9 +78,20 @@ class PlanServer:
         self.address = self._srv.getsockname()
         self._shutdown = False
         self._requests = 0
+        # one device program; concurrent client threads serialize planning
+        self._plan_lock = threading.Lock()
+        # leader-follower micro-batching: requests that queue up behind an
+        # in-flight plan are planned TOGETHER in one vmapped device program
+        # (CEMPolicy.get_action_batched) by whichever handler thread grabs
+        # the plan lock next
+        self._batch_plans = (batch_plans
+                             and hasattr(self.policy, "get_action_batched"))
+        self._q_lock = threading.Lock()
+        self._q: list = []
 
     # --- request handling -------------------------------------------------
-    def _handle_plan(self, header: dict, arrays: dict) -> tuple:
+    @staticmethod
+    def _decode_request(header: dict, arrays: dict):
         start = State(
             img=arrays["start_img"],
             state=arrays["start_state"],
@@ -92,30 +104,86 @@ class PlanServer:
             masks=None if masks is None else list(masks),
             states=None if states is None else list(states),
         )
-        t0 = time.perf_counter()
-        plan = self.policy.get_action(
-            start, goal,
-            ep_num=int(header.get("ep_num", 0)),
-            step=int(header.get("step", 0)),
-            opt_traj=arrays.get("opt_traj"),
-        )
-        return np.asarray(plan, np.float32), time.perf_counter() - t0
+        return (start, goal, int(header.get("ep_num", 0)),
+                int(header.get("step", 0)), arrays.get("opt_traj"))
 
-    def serve_once(self):
-        """Serve one client connection to completion. Returns False once a
-        client has requested server shutdown."""
-        conn, _ = self._srv.accept()
+    def _handle_plan(self, header: dict, arrays: dict) -> tuple:
+        """Plan one request. With batching enabled, the handler thread that
+        wins the plan lock drains every queued request and plans them in
+        one vmapped program; the others wake up to a filled slot."""
+        if not self._batch_plans:
+            with self._plan_lock:
+                start, goal, ep, st, opt = self._decode_request(header, arrays)
+                t0 = time.perf_counter()
+                plan = self.policy.get_action(start, goal, ep_num=ep,
+                                              step=st, opt_traj=opt)
+                self._requests += 1
+                return (np.asarray(plan, np.float32),
+                        time.perf_counter() - t0, 1)
+
+        slot = {"done": threading.Event()}
+        with self._q_lock:
+            self._q.append((header, arrays, slot))
+        with self._plan_lock:
+            if not slot["done"].is_set():
+                with self._q_lock:
+                    batch, self._q = self._q, []
+                self._plan_batch(batch)
+        slot["done"].wait()
+        if "error" in slot:
+            raise RuntimeError(slot["error"])
+        return slot["plan"], slot["dt"], slot["batch"]
+
+    def _plan_batch(self, batch: list):
+        """Execute a drained request batch, grouped by goal structure
+        (get_action_batched requires consistent masks/states presence)."""
+        groups: dict = {}
+        for header, arrays, slot in batch:
+            key = ("goal_masks" in arrays, "goal_states" in arrays)
+            groups.setdefault(key, []).append((header, arrays, slot))
+        for reqs in groups.values():
+            t0 = time.perf_counter()
+            try:
+                dec = [self._decode_request(h, a) for h, a, _ in reqs]
+                plans = self.policy.get_action_batched(
+                    [d[0] for d in dec], [d[1] for d in dec],
+                    ep_nums=[d[2] for d in dec], steps=[d[3] for d in dec],
+                    opt_trajs=[d[4] for d in dec],
+                )
+                dt = time.perf_counter() - t0
+                for (_, _, slot), plan in zip(reqs, plans):
+                    slot["plan"] = np.asarray(plan, np.float32)
+                    slot["dt"] = dt
+                    slot["batch"] = len(reqs)
+                self._requests += len(reqs)
+            except Exception as e:
+                for _, _, slot in reqs:
+                    slot["error"] = str(e)
+            finally:
+                for _, _, slot in reqs:
+                    slot["done"].set()
+
+    def _handle_conn(self, conn):
+        """One client session: request/response until close/shutdown/EOF."""
         try:
             while True:
                 header, arrays = _recv_arrays(conn)
                 cmd = header.get("cmd")
                 if cmd == "close":
                     _send_msg(conn, {"ok": True})
-                    return not self._shutdown
+                    return
                 if cmd == "shutdown":
                     self._shutdown = True
                     _send_msg(conn, {"ok": True})
-                    return False
+                    # unblock the accept loop: close() alone does NOT wake
+                    # a thread blocked in accept() on Linux — shutdown the
+                    # listening socket first
+                    try:
+                        self._srv.shutdown(socket.SHUT_RDWR)
+                    except OSError:
+                        pass
+                    self._srv.close()
+                    return
                 try:
                     if cmd == "ping":
                         _send_msg(conn, {"ok": True, "requests": self._requests})
@@ -132,10 +200,10 @@ class PlanServer:
                             "requests": self._requests,
                         })
                     elif cmd == "plan":
-                        plan, dt = self._handle_plan(header, arrays)
-                        self._requests += 1
+                        plan, dt, nbatch = self._handle_plan(header, arrays)
                         _send_arrays(conn, {"ok": True,
-                                            "plan_s": round(dt, 4)},
+                                            "plan_s": round(dt, 4),
+                                            "batched": nbatch},
                                      {"plan": plan})
                     else:
                         _send_msg(conn, {"ok": False,
@@ -143,16 +211,31 @@ class PlanServer:
                 except Exception as e:  # keep serving after a bad request
                     _send_msg(conn, {"ok": False, "error": str(e)})
         except (ConnectionError, OSError):
-            return not self._shutdown  # client vanished; next accept
+            pass  # client vanished
         finally:
             conn.close()
 
-    def serve_forever(self):
+    def serve_once(self):
+        """Serve one client connection to completion. Returns False once a
+        client has requested server shutdown."""
+        conn, _ = self._srv.accept()
+        self._handle_conn(conn)
+        return not self._shutdown
+
+    def serve_forever(self, concurrent: bool = True):
+        """Accept loop. With `concurrent`, each client gets a handler
+        thread (multiple robots share the planner; plans serialize on the
+        single device program via _plan_lock)."""
         try:
-            while self.serve_once():
-                pass
+            while not self._shutdown:
+                conn, _ = self._srv.accept()
+                if concurrent:
+                    threading.Thread(target=self._handle_conn, args=(conn,),
+                                     daemon=True).start()
+                else:
+                    self._handle_conn(conn)
         except OSError:
-            pass  # listening socket closed from another thread
+            pass  # listening socket closed (shutdown or close())
 
     def start(self) -> threading.Thread:
         """serve_forever on a daemon thread (tests / embedding)."""
@@ -170,6 +253,7 @@ class PlanClient:
     def __init__(self, host: str, port: int, timeout: float = 120.0):
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self.last_plan_s: Optional[float] = None
+        self.last_batched: Optional[int] = None  # co-planned request count
 
     def _call(self, cmd: str, header: dict = None, arrays: dict = None):
         _send_arrays(self._sock, dict(header or {}, cmd=cmd), arrays or {})
@@ -206,6 +290,7 @@ class PlanClient:
         resp, out = self._call("plan", {"ep_num": ep_num, "step": step},
                                arrays)
         self.last_plan_s = resp.get("plan_s")
+        self.last_batched = resp.get("batched")
         return out["plan"]
 
     def close(self, shutdown_server: bool = False):
@@ -259,6 +344,25 @@ def main(argv=None):
                         host=cfg.plan_server_host, port=cfg.plan_server_port)
     print(f"plan server: {cfg.model} policy={policy_cls.__name__} "
           f"listening on {server.address[0]}:{server.address[1]}",
+          flush=True)
+    # pay the jit compile before the first robot connects, so request
+    # latency is the warm plan time from request #1
+    t0 = time.perf_counter()
+    h, w = cfg.image_height, cfg.image_width
+    from robot_aware_control_tpu.data.norm import LOCOBOT_LOW
+
+    # states normalize against the (5-d) locobot-frame bounds — the
+    # reference keeps eef states in that frame for every robot
+    # (trajectory_sampler.py:94-98) — so warm with that dimensionality
+    state_dim = min(cfg.robot_dim, len(LOCOBOT_LOW))
+    server.policy.get_action(
+        State(img=np.zeros((h, w, 3), np.float32),
+              state=np.zeros(state_dim, np.float32),
+              qpos=np.zeros(cfg.robot_joint_dim, np.float32)),
+        DemoGoalState(imgs=[np.zeros((h, w, 3), np.float32)],
+                      masks=[np.zeros((h, w), np.float32)]),
+        ep_num=0, step=0)
+    print(f"plan server: warm (compile {time.perf_counter() - t0:.1f}s)",
           flush=True)
     server.serve_forever()
     server.close()

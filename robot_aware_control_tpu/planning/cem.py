@@ -68,8 +68,11 @@ class CEMPolicy:
                 self.num_candidates = -(-self.num_candidates // n_dev) * n_dev
         engine_kw.setdefault("pick", self.engine_pick)
         self.engine = RolloutEngine(cfg, **engine_kw)
+        self._engine_kw = dict(engine_kw)
         self.traj_sampler = TrajectorySampler(cfg, params, bn, **engine_kw)
         self._plan = jax.jit(self._build_plan())
+        # per-(goal-structure) vmapped plan programs (get_action_batched)
+        self._plan_batched: dict = {}
 
     # --- variant hooks -------------------------------------------------
     def init_mean_std(self, T: int, opt_traj=None):
@@ -99,8 +102,9 @@ class CEMPolicy:
         )
 
     # --- the on-device optimizer ---------------------------------------
-    def _build_plan(self):
+    def _build_plan(self, engine=None):
         cfg = self.cfg
+        engine = engine if engine is not None else self.engine
         N, K = self.num_candidates, self.topk
         T = self.horizon
 
@@ -124,7 +128,7 @@ class CEMPolicy:
                         acts, NamedSharding(self.mesh, P("data"))
                     )
                 padded = self.pad(acts)
-                sum_cost = self.engine(
+                sum_cost = engine(
                     params, bn, start_img, start_state_norm, start_qpos,
                     padded, goal_imgs, goal_masks, k_r,
                     goal_states=goal_states,
@@ -143,10 +147,10 @@ class CEMPolicy:
         return plan
 
     # --- host API -------------------------------------------------------
-    def get_action(self, start: State, goal: DemoGoalState, ep_num=0, step=0,
-                   opt_traj=None, rng=None):
-        """Returns the mean plan (horizon-1, action_dim) as numpy
-        (reference: cem.py:56-111)."""
+    def _host_prep(self, start: State, goal: DemoGoalState, ep_num=0,
+                   step=0, opt_traj=None, rng=None):
+        """Host-side request preparation shared by the single and batched
+        entry points: normalization, frame shift, goal padding, seeding."""
         cfg = self.cfg
         T = self.horizon
         img = np.asarray(start.img, np.float32)
@@ -170,17 +174,72 @@ class CEMPolicy:
         if rng is None:
             rng = jax.random.PRNGKey(cfg.seed + 7919 * ep_num + step)
         mean0, std0 = self.init_mean_std(T, opt_traj)
-        mean = self._plan(
-            self.params, self.bn, jnp.asarray(img), jnp.asarray(state_norm),
-            jnp.asarray(qpos), jnp.asarray(goal_imgs),
-            None if goal_masks is None else jnp.asarray(goal_masks),
-            None if goal_states is None else jnp.asarray(goal_states),
-            rng, mean0, std0,
-        )
-        mean = np.asarray(mean)
-        if cfg.debug_cem:
+        return (jnp.asarray(img), jnp.asarray(state_norm), jnp.asarray(qpos),
+                jnp.asarray(goal_imgs),
+                None if goal_masks is None else jnp.asarray(goal_masks),
+                None if goal_states is None else jnp.asarray(goal_states),
+                rng, mean0, std0)
+
+    def get_action(self, start: State, goal: DemoGoalState, ep_num=0, step=0,
+                   opt_traj=None, rng=None):
+        """Returns the mean plan (horizon-1, action_dim) as numpy
+        (reference: cem.py:56-111)."""
+        prep = self._host_prep(start, goal, ep_num, step, opt_traj, rng)
+        mean = np.asarray(self._plan(self.params, self.bn, *prep))
+        if self.cfg.debug_cem:
             self._plot_rollouts(mean, start, goal, ep_num, step)
         return mean
+
+    def get_action_batched(self, starts, goals, ep_nums=None, steps=None,
+                           opt_trajs=None):
+        """Plan R independent requests in ONE vmapped device program —
+        the serving idiom for multiple robots sharing one planner
+        (control/plan_server.py). Returns (R, horizon-1, action_dim).
+
+        Each request gets exactly the seeding/normalization of
+        get_action, so result[i] matches
+        get_action(starts[i], goals[i], ep_nums[i], steps[i]) —
+        bit-identical when both trace the same cells; on TPU with
+        --fused_lstm the single path uses the Pallas cell and the batched
+        program the XLA cells (see below), which agree to lowering noise.
+        No reference analogue (the reference plans one request per GPU
+        process, src/cem/cem.py:56)."""
+        R = len(starts)
+        ep_nums = ep_nums if ep_nums is not None else [0] * R
+        steps = steps if steps is not None else [0] * R
+        opt_trajs = opt_trajs if opt_trajs is not None else [None] * R
+        preps = [self._host_prep(s, g, e, t, o) for s, g, e, t, o
+                 in zip(starts, goals, ep_nums, steps, opt_trajs)]
+        has = [p is not None for p in preps[0]]
+        if not all([pp is not None for pp in p] == has for p in preps):
+            raise ValueError("batched requests must agree on goal masks/"
+                             "states presence")
+        # candidate sharding constraints inside the plan body don't
+        # compose with an added vmap axis — mesh-sharded planners run
+        # requests back to back instead
+        if self.mesh is not None or R == 1:
+            return np.stack([
+                np.asarray(self._plan(self.params, self.bn, *p))
+                for p in preps
+            ])
+        key = tuple(has)
+        fn = self._plan_batched.get(key)
+        if fn is None:
+            engine = self.engine
+            if self.cfg.fused_lstm:
+                # the fused Pallas cell's scoped-VMEM footprint doesn't
+                # admit the extra vmap axis (kernel stack OOM at R>=2 on
+                # v5e); trace the batched program with the XLA cells
+                engine = RolloutEngine(
+                    self.cfg.replace(fused_lstm=False), **self._engine_kw)
+            in_axes = (None, None) + tuple(0 if h else None for h in has)
+            fn = jax.jit(jax.vmap(self._build_plan(engine), in_axes=in_axes))
+            self._plan_batched[key] = fn
+        args = tuple(
+            jnp.stack([p[i] for p in preps]) if has[i] else None
+            for i in range(len(has))
+        )
+        return np.asarray(fn(self.params, self.bn, *args))
 
     def _plot_rollouts(self, plan, start, goal, ep_num, step):
         """Save a top-K rollout strip gif for the final plan

@@ -110,6 +110,25 @@ def test_sequential_clients_and_errors(served, rng):
         policy.close()
 
 
+def test_concurrent_clients(served, rng):
+    """Two simultaneously-connected clients both get served (thread-per-
+    connection; plans serialize on the single device program)."""
+    import concurrent.futures as cf
+
+    server, _, _ = served
+    start, goal = _start_goal(rng)
+    c1, c2 = PlanClient(*server.address), PlanClient(*server.address)
+    try:
+        with cf.ThreadPoolExecutor(2) as pool:
+            f1 = pool.submit(c1.plan, start, goal, 5, 0)
+            f2 = pool.submit(c2.plan, start, goal, 5, 0)
+            p1, p2 = f1.result(timeout=120), f2.result(timeout=120)
+        np.testing.assert_array_equal(p1, p2)  # same request -> same plan
+    finally:
+        c1.close()
+        c2.close()
+
+
 def test_demo_seeded_plan_roundtrip(rng):
     """opt_traj (demo-seeded CEM mean, planning/cem.py:75-85) crosses the
     wire and changes the plan under --demo_cost."""

@@ -271,6 +271,25 @@ def test_cem_policy_plan_shape_and_bounds(svg_model, rng):
     np.testing.assert_allclose(plan, plan2)
 
 
+def test_cem_policy_batched_matches_single(svg_model, rng):
+    """get_action_batched (one vmapped program over R requests — the
+    plan-server micro-batching path) matches per-request get_action."""
+    cfg, params, bn = svg_model
+    policy = CEMPolicy(cfg, params, bn)
+    s1, g1 = _start_goal(cfg, rng)
+    s2, g2 = _start_goal(cfg, rng)
+    batched = policy.get_action_batched(
+        [s1, s2], [g1, g2], ep_nums=[1, 2], steps=[3, 4])
+    assert batched.shape == (2, cfg.horizon - 1, 2)
+    for i, (s, g, e, t) in enumerate([(s1, g1, 1, 3), (s2, g2, 2, 4)]):
+        single = policy.get_action(s, g, ep_num=e, step=t)
+        np.testing.assert_allclose(batched[i], single, atol=1e-5)
+    # mixed goal structure is rejected, not silently mis-stacked
+    g_nomask = DemoGoalState(imgs=list(g2.imgs))
+    with pytest.raises(ValueError, match="masks"):
+        policy.get_action_batched([s1, s2], [g1, g_nomask])
+
+
 @pytest.mark.parametrize("experiment,robot_dof", [
     ("control_franka", 7), ("control_wx250s", 6),
 ])
