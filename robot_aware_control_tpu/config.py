@@ -196,7 +196,11 @@ class Config:
     pick_wide_x_std: bool = False
     sparse_cost: bool = False
     cem_open_loop: bool = False
-    cem_prediction_use_thick_mask: bool = False
+    # NOTE: the reference declares this flag default-False but its sampler
+    # hardcodes thick=True (trajectory_sampler.py:107) — the flag is a no-op
+    # there. Here it really controls the planner's mask thickness, with the
+    # default set to the reference's ACTUAL behavior (thick).
+    cem_prediction_use_thick_mask: bool = True
 
     # --- cost (reference :346-357) ---
     world_cost_success: float = 4000.0
@@ -371,3 +375,19 @@ def to_yaml(cfg: Config, path: str):
              for k, v in dataclasses.asdict(cfg).items()},
             f, sort_keys=True,
         )
+
+
+# ---------------------------------------------------------------------------
+# Documented flag descopes. Every Config field must either be consumed
+# somewhere outside this module or appear here with a reason — enforced by
+# tests/test_config_yaml_vis.py::test_every_flag_consumed_or_descoped, so no
+# flag can silently become a no-op (the reference has several such flags;
+# see the per-entry notes).
+DESCOPED_FLAGS = {
+    "gpu": (
+        "CUDA device ordinal. Device selection here is JAX-native: backend "
+        "via jax_platform / JAX config, chip count via --num_devices and "
+        "the mesh flags. Kept for CLI compatibility with the reference "
+        "(src/config/__init__.py --gpu); accepted and ignored."
+    ),
+}

@@ -149,8 +149,18 @@ class EpisodeRunner:
         goal_key = (
             cfg.demo_type if cfg.demo_type in demo else "observations"
         )
+        # --goal_image_type object_only: goals come from the robot-free
+        # demo stream with blank goal masks (reference:
+        # push_episode_runner.py:114-119, pick_episode_runner.py:109-114)
+        if cfg.goal_image_type == "object_only":
+            for k in ("obj_observations", "object_only_demo"):
+                if k in demo:
+                    goal_key = k
+                    break
         goal_imgs = demo[goal_key][::ts]
         goal_masks = demo["masks"][::ts]
+        if cfg.goal_image_type == "object_only":
+            goal_masks = np.zeros_like(goal_masks)
         goal_robots = demo["robot_state"][::ts]
         goal_obj_poses = demo.get("obj_poses")
         if goal_obj_poses is not None:
@@ -169,6 +179,13 @@ class EpisodeRunner:
             env.set_flattened_state(demo["sim_start"])
             obs = env._get_obs()
         gif = []
+        # --record_trajectory: obs/action/state pickle per episode
+        # (reference: episode_runner.py:131-134, 188-205)
+        trajectory = defaultdict(list)
+        episode_reward = 0.0
+        if cfg.record_trajectory:
+            trajectory["obs"].append(obs)
+            trajectory["state"].append(env.get_flattened_state())
         opt_actions = demo.get("actions")
         push_length = 0.2
         if goal_obj_poses is not None:
@@ -213,6 +230,10 @@ class EpisodeRunner:
             terminate = False
             for action in actions[: cfg.replan_every]:
                 obs, _, _, _ = env.step(action)
+                if cfg.record_trajectory:
+                    trajectory["obs"].append(obs)
+                    trajectory["ac"].append(np.asarray(action))
+                    trajectory["state"].append(env.get_flattened_state())
                 curr = State(
                     img=obs["observation"], state=obs["states"],
                     mask=obs["masks"], qpos=obs["qpos"],
@@ -230,6 +251,14 @@ class EpisodeRunner:
                 ))
                 g_before = self._g_i
                 self._pick_next_goal(curr, g_state)
+                if self._g_i != g_before:
+                    # --subgoal_completion_bonus: shaping reward on subgoal
+                    # advance (reference: locobot_pick_env_gym.py:245)
+                    episode_reward += cfg.subgoal_completion_bonus
+                episode_reward += self._world_cost_scalar(
+                    curr.img, goal_imgs[min(self._g_i, num_goals - 1)],
+                    curr.mask, goal_masks[min(self._g_i, num_goals - 1)],
+                )
                 if (
                     self._g_i == g_before
                     and cfg.subgoal_step_limit
@@ -265,6 +294,31 @@ class EpisodeRunner:
         )
         self._stats["final_obj_dist"].append(final_obj_dist)
         self._stats["success"].append(float(finish_demo))
+        # threshold successes (reference: fetch/pick env success checks,
+        # --object_dist_threshold / --gripper_dist_threshold)
+        self._stats["object_success"].append(
+            float(goal_obj_poses is not None
+                  and final_obj_dist < cfg.object_dist_threshold)
+        )
+        grip_dist = float(np.linalg.norm(
+            np.asarray(env.state.eef)[:2]
+            - np.asarray(goal_robots[-1][:2], np.float32)
+        ))
+        self._stats["gripper_success"].append(
+            float(grip_dist < cfg.gripper_dist_threshold)
+        )
+        self._stats["episode_reward"].append(episode_reward)
+        if cfg.record_trajectory and (
+            ep_num % max(cfg.record_trajectory_interval, 1) == 0
+        ):
+            import pickle
+
+            traj_dir = os.path.join(self.log_dir, "trajectory")
+            os.makedirs(traj_dir, exist_ok=True)
+            with open(os.path.join(
+                traj_dir, f"ep_s{self._g_i}_{ep_num}.pkl"
+            ), "wb") as f:
+                pickle.dump(dict(trajectory), f)
         if cfg.record_video_interval and ep_num % cfg.record_video_interval == 0:
             save_gif(os.path.join(
                 self.log_dir, f"ep_{ep_num}_{'s' if finish_demo else 'f'}.gif"
@@ -315,6 +369,10 @@ def main(argv=None):
     from robot_aware_control_tpu.config import argparser
 
     cfg, _ = argparser(argv)
+    if cfg.mbrl_algo != "cem":
+        # the reference registers exactly one algorithm
+        # (src/config/__init__.py mbrl_algo choices)
+        raise ValueError(f"unknown --mbrl_algo {cfg.mbrl_algo!r}; only 'cem'")
     runner_cls = {
         "FetchPush": EpisodeRunner,
         "LocobotTable": PushEpisodeRunner,

@@ -568,3 +568,96 @@ def create_finetune_loaders(config: Config):
         _mk_loader(config, test_pairs, config.seed + 1,
                    _host_batch(config.test_batch_size)),
     )
+
+
+# ---------------------------------------------------------------------------
+# demo-video training data (reference: src/dataset/mujoco/video_dataset.py
+# + mujoco/dataloaders.py — trains prediction models directly on demo HDF5
+# files, selecting the image stream with --video_type)
+
+
+class DemoVideoDataset:
+    """Episode dicts from runner demo files (data/demo_io.py layout).
+
+    --video_type picks the image stream: "observations" (robot visible),
+    "object_only_demo" / "object_inpaint_demo" (robot-free renders)
+    (reference: video_dataset.py:20,27-37 reads `hf[config.video_type]`).
+    Actions are clipped to [-1, 1] like the reference (:44-45)."""
+
+    def __init__(self, files, config: Config, seed: Optional[int] = None):
+        self._files = list(files)
+        self._cf = config
+        self._horizon = config.n_past + config.n_future
+        self._rng = np.random.RandomState(
+            config.seed if seed is None else seed
+        )
+
+    def __len__(self):
+        return len(self._files)
+
+    def __getitem__(self, idx: int) -> Dict:
+        from robot_aware_control_tpu.data import demo_io
+
+        cfg = self._cf
+        demo = demo_io.load_demo(self._files[idx])
+        key = cfg.video_type if cfg.video_type in demo else "observations"
+        frames = np.asarray(demo[key])
+        ep_len = frames.shape[0]
+        if ep_len < self._horizon:
+            raise ValueError(f"{self._files[idx]}: {ep_len} < {self._horizon}")
+        start = 0
+        if ep_len > self._horizon:
+            start = int(self._rng.randint(0, ep_len - self._horizon + 1))
+        end = start + self._horizon
+        imgs = frames[start:end].astype(np.float32)
+        if imgs.max() > 1.5:
+            imgs /= 255.0
+        masks = np.asarray(demo["masks"][start:end], np.float32)
+        if masks.ndim == 3:
+            masks = masks[..., None]
+        states = np.asarray(demo["robot_state"][start:end], np.float32)
+        rd = cfg.robot_dim
+        if states.shape[-1] < rd:
+            states = np.pad(states, [(0, 0), (0, rd - states.shape[-1])])
+        actions = np.clip(
+            np.asarray(demo["actions"][start:end - 1], np.float32), -1, 1
+        )
+        ad = cfg.action_dim
+        if actions.shape[-1] < ad:
+            actions = np.pad(actions, [(0, 0), (0, ad - actions.shape[-1])])
+        qpos = np.asarray(demo["qpos"][start:end], np.float32)
+        jd = cfg.robot_joint_dim
+        if qpos.shape[-1] < jd:
+            qpos = np.pad(qpos, [(0, 0), (0, jd - qpos.shape[-1])])
+        return {
+            "images": imgs, "states": states, "actions": actions[:, :ad],
+            "masks": masks, "qpos": qpos, "robot": "locobot",
+            "folder": os.path.basename(os.path.dirname(self._files[idx])),
+            "file_path": self._files[idx], "idx": idx,
+        }
+
+
+def create_demo_video_loaders(config: Config, demo_dir: Optional[str] = None):
+    """Train/test loaders over a directory of demo HDF5s (reference:
+    mujoco/dataloaders.py:12-30 create_split/create_loaders)."""
+    from robot_aware_control_tpu.data import demo_io
+
+    files = demo_io.list_demos(demo_dir or config.demo_dir or config.data_root)
+    if not files:
+        raise FileNotFoundError("no demo hdf5 files found")
+    pairs = [(f, "locobot") for f in files]
+    train_pairs, test_pairs = train_test_split(
+        pairs, config.train_val_split, 0
+    )
+    train_pairs = train_pairs or pairs
+    test_pairs = test_pairs or pairs[-1:]
+    mk = lambda prs, seed, bs: DataLoader(
+        DemoVideoDataset([p for p, _ in prs], config, seed=seed),
+        batch_size=bs, num_workers=config.data_threads or 1, seed=seed,
+        drop_last=False,
+    )
+    return (
+        mk(_host_shard(train_pairs), config.seed, _host_batch(config.batch_size)),
+        mk(_host_shard(test_pairs), config.seed + 1,
+           _host_batch(config.test_batch_size)),
+    )

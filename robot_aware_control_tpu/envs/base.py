@@ -218,35 +218,92 @@ class RobotEnv:
 
     def __init__(self, config=None, seed: Optional[int] = None):
         self._config = config
-        h = getattr(config, "image_height", 48) if config else 48
-        w = getattr(config, "image_width", 64) if config else 64
+        cfg = config
+        g = lambda name, d: getattr(cfg, name, d) if cfg else d
+        h, w = g("image_height", 48), g("image_width", 64)
         self._img_shape = (h, w)
-        modified = self.modified or bool(getattr(config, "modified", False))
+        modified = self.modified or bool(g("modified", False))
+        # --red_robot: distinctly-colored arm for domain-shift experiments
+        # (reference: fetch_push.py red robot appearance flag)
+        arm_color = self.arm_color
+        if g("red_robot", False):
+            arm_color = (0.75, 0.12, 0.10)
+        # --camera_name selects the calibrated viewpoint when it names one
+        # (reference: env render camera flag, clutter_push.py camera use)
+        from robot_aware_control_tpu.data import calibration as _calib
+
+        cam = g("camera_name", None)
+        try:
+            _calib.get_world_to_camera(cam)
+        except Exception:
+            cam = "locobot_c0"
         self.renderer = SceneRenderer(
-            (h, w), table_z=TABLE_Z, modified=modified,
-            arm_color=self.arm_color, radii=self.arm_radii,
+            (h, w), camera_key=cam, table_z=TABLE_Z, modified=modified,
+            arm_color=arm_color, radii=self.arm_radii,
         )
         self.rng = np.random.RandomState(
-            seed if seed is not None else getattr(config, "seed", 0) if config else 0
+            seed if seed is not None else g("seed", 0)
         )
-        self.max_episode_length = (
-            getattr(config, "max_episode_length", 20) if config else 20
-        )
+        self.max_episode_length = g("max_episode_length", 20)
+        # --action_repeat: physics substeps per env step (reference:
+        # clutter_push.py:66,105)
+        self._action_repeat = max(1, int(g("action_repeat", 1) or 1))
+        self._action_noise = float(g("action_noise", 0.0) or 0.0)
+        # observation modes (reference: fetch_push.py/clutter_push.py
+        # pixels_ob / norobot_pixels_ob / robot_mask_with_obj / inpaint_eef)
+        self._pixels_ob = bool(g("pixels_ob", True))
+        self._norobot_ob = bool(g("norobot_pixels_ob", False))
+        self._most_recent_bg = bool(g("most_recent_background", False))
+        self._mask_with_obj = bool(g("robot_mask_with_obj", False))
+        self._inpaint_eef = bool(g("inpaint_eef", True))
+        if g("depth_ob", False):
+            # loud failure beats a silently-missing observation key: the
+            # analytic rasterizer has no per-pixel depth buffer (reference:
+            # fetch_push.py depth_ob renders mujoco depth maps)
+            raise NotImplementedError(
+                "--depth_ob: the analytic scene rasterizer does not produce "
+                "depth maps"
+            )
+        self._force_norobot = False  # set during --invisible_demo collection
+        self._background_img = None
+        # --large_block: bigger pushable blocks (reference: fetch_push.py)
+        if g("large_block", False):
+            self.obj_half = self.obj_half * 1.5
         K = self.num_objects
         self._colors = self.OBJ_COLORS[:K]
+        self._halfs = np.full(K, self.obj_half, np.float32)
         self._step_fn = jax.jit(functools.partial(
             physics_step, pick=self.pick, obj_half=self.obj_half
         ))
         self._render_fn = jax.jit(self._render)
+        self._render_norobot_fn = jax.jit(functools.partial(
+            self._render, include_arm=False
+        ))
+        self._obj_hit_fn = jax.jit(
+            lambda s: self.renderer.render_objects(
+                s.obj_pos, jnp.asarray(self._halfs), self._colors
+            )[0].any(axis=-3)
+        )
         self._t = 0
         self.state: SimState = None  # set by reset()
 
     # ------------------------------------------------------------------
-    def _render(self, state: SimState):
+    def _render(self, state: SimState, include_arm: bool = True):
         return self.renderer.render_scene(
             state.qpos, state.obj_pos, np.full(self.num_objects, self.obj_half,
                                                np.float32), self._colors,
+            include_arm=include_arm,
         )
+
+    def _noised(self, action):
+        """--action_noise: gaussian perturbation of scripted demo actions
+        (reference: clutter_push.py:1083, collect_clutter_data.py:221)."""
+        if self._action_noise <= 0:
+            return action
+        a = np.asarray(action, np.float32)
+        return np.clip(
+            a + self.rng.normal(0.0, self._action_noise, a.shape), -1.0, 1.0
+        ).astype(np.float32)
 
     def _sample_state(self) -> SimState:
         eef = np.array([
@@ -272,14 +329,64 @@ class RobotEnv:
     def reset(self):
         self.state = self._sample_state()
         self._t = 0
+        self._background_img = None
+        if self._norobot_ob or self._most_recent_bg:
+            # arm-free render is the exact "background" the reference
+            # approximates by moving the robot out of frame
+            # (clutter_push.py:225-233 _get_background_img)
+            self._background_img = np.array(
+                self._render_norobot_fn(self.state)[0], np.float32, copy=True
+            )
         return self._get_obs()
+
+    def _tip_pixel_mask(self, radius_m: float = 0.03):
+        """Screen-space disc around the gripper tip (for --inpaint_eef
+        False: keep the eef visible while inpainting the arm; reference:
+        clutter_push.py inpaint_eef flag)."""
+        eef = np.asarray(self.state.eef, np.float32)
+        u, v, z = self.renderer._project(jnp.asarray(eef[None]))
+        u, v, z = float(u[0]), float(v[0]), float(z[0])
+        r = float(self.renderer._K[0, 0]) * radius_m / max(z, 1e-4)
+        h, w = self._img_shape
+        ys, xs = np.mgrid[0:h, 0:w]
+        return ((ys + 0.5 - v) ** 2 + (xs + 0.5 - u) ** 2) <= r * r
 
     def _get_obs(self):
         img, mask = self._render_fn(self.state)
+        img = np.asarray(img, np.float32)
+        mask = np.asarray(mask, np.float32)
         eef = np.asarray(self.state.eef)
+        if self._mask_with_obj:
+            # --robot_mask_with_obj: mask covers objects too (reference:
+            # fetch_push.py robot_mask_with_obj)
+            obj_hit = np.asarray(self._obj_hit_fn(self.state))
+            mask = np.maximum(mask, obj_hit[..., None].astype(np.float32))
+        if self._norobot_ob or self._force_norobot:
+            # --norobot_pixels_ob: robot pixels replaced by background.
+            # most_recent_background keeps the reference's incremental
+            # background update (clutter_push.py:580-593); otherwise the
+            # analytic renderer gives the EXACT robot-free scene.
+            seg = np.asarray(mask[..., 0]) > 0.5
+            if not self._inpaint_eef:
+                seg &= ~self._tip_pixel_mask()
+            if self._most_recent_bg and self._background_img is not None:
+                self._background_img[~seg] = img[~seg]
+                img = img.copy()
+                img[seg] = self._background_img[seg]
+            else:
+                img_nr = np.asarray(
+                    self._render_norobot_fn(self.state)[0], np.float32
+                )
+                img = np.where(seg[..., None], img_nr, img)
+        if not self._pixels_ob:
+            # --pixels_ob False: low-dim observation (documented redesign:
+            # the reference returns mujoco state features, fetch_push.py)
+            img = np.concatenate(
+                [eef, np.asarray(self.state.obj_pos).ravel()]
+            ).astype(np.float32)
         obs = {
-            "observation": np.asarray(img, np.float32),
-            "masks": np.asarray(mask, np.float32),
+            "observation": img,
+            "masks": mask,
             "states": np.array([*eef, 0.0, 0.0], np.float32),
             "qpos": np.asarray(self.state.qpos, np.float32),
             # privileged object poses for demo collection / runner metrics
@@ -290,7 +397,8 @@ class RobotEnv:
 
     def step(self, action):
         action = np.clip(np.asarray(action, np.float32), -1.0, 1.0)
-        self.state = self._step_fn(self.state, jnp.asarray(action))
+        for _ in range(self._action_repeat):
+            self.state = self._step_fn(self.state, jnp.asarray(action))
         self._t += 1
         obs = self._get_obs()
         done = self._t >= self.max_episode_length

@@ -55,34 +55,53 @@ class ModifiedLocobotPushEnv(LocobotPushEnv):
 
 
 class MultiviewMixin:
-    """Adds a second camera; observations stack both views vertically
-    (reference multiview pick env + camera_ids flag,
-    src/config/__init__.py:119). The stacked image trains directly with
-    image_height = 2x the per-view height (fully convolutional models)."""
+    """Adds extra cameras; observations stack all views vertically
+    (reference multiview pick env + --camera_ids flag,
+    src/config/__init__.py:119, collect_pick_mv_data.py). The stacked image
+    trains directly with image_height = n_views x the per-view height
+    (fully convolutional models).
 
-    SECOND_CAMERA_EYE = (0.4, -0.85, 0.65)
+    --camera_ids picks the views: id 0 is the primary calibrated camera;
+    other ids select preset secondary eyes (registered look-at cameras)."""
+
+    # preset secondary camera eye positions, indexed by camera id
+    CAMERA_EYES = {
+        1: (0.4, -0.85, 0.65),
+        2: (0.4, 0.85, 0.65),
+        3: (0.85, 0.0, 0.75),
+        4: (0.4, -0.85, 0.65),  # reference default ids are (0, 4)
+    }
 
     def __init__(self, *a, **kw):
         super().__init__(*a, **kw)
-        key = "multiview_c1"
-        calib.register_camera(
-            key, calib.look_at(self.SECOND_CAMERA_EYE, (0.28, 0.0, 0.15))
-        )
-        self.renderer2 = SceneRenderer(self._img_shape, camera_key=key)
+        cfg = self._config
+        ids = tuple(getattr(cfg, "camera_ids", None) or (0, 4)) if cfg else (0, 4)
+        self.camera_ids = ids
+        self.renderers2 = []
+        for cid in ids:
+            if cid == 0:
+                continue  # primary camera is self.renderer
+            eye = self.CAMERA_EYES.get(cid, self.CAMERA_EYES[4])
+            key = f"multiview_c{cid}"
+            calib.register_camera(
+                key, calib.look_at(eye, (0.28, 0.0, 0.15))
+            )
+            self.renderers2.append(SceneRenderer(self._img_shape,
+                                                 camera_key=key))
 
     def _get_obs(self):
         obs = super()._get_obs()
-        img2, mask2 = self.renderer2.render_scene(
-            self.state.qpos, self.state.obj_pos,
-            np.full(self.num_objects, self.obj_half, np.float32),
-            self._colors,
-        )
-        obs["observation"] = np.concatenate(
-            [obs["observation"], np.asarray(img2, np.float32)], axis=0
-        )
-        obs["masks"] = np.concatenate(
-            [obs["masks"], np.asarray(mask2, np.float32)], axis=0
-        )
+        imgs, masks = [obs["observation"]], [obs["masks"]]
+        for r in self.renderers2:
+            img2, mask2 = r.render_scene(
+                self.state.qpos, self.state.obj_pos,
+                np.full(self.num_objects, self.obj_half, np.float32),
+                self._colors,
+            )
+            imgs.append(np.asarray(img2, np.float32))
+            masks.append(np.asarray(mask2, np.float32))
+        obs["observation"] = np.concatenate(imgs, axis=0)
+        obs["masks"] = np.concatenate(masks, axis=0)
         return obs
 
 
@@ -103,7 +122,15 @@ _REGISTRY: Dict[str, Type[RobotEnv]] = {
 
 
 def make(env_id: str, config=None, seed=None) -> RobotEnv:
-    """gym.make-style factory over the env registry."""
+    """gym.make-style factory over the env registry. --multiview upgrades
+    any base env to its camera-stacked variant (reference: the mv pick env
+    is selected by the multiview/camera_ids flags)."""
     if env_id not in _REGISTRY:
         raise KeyError(f"unknown env {env_id!r}; have {sorted(_REGISTRY)}")
-    return _REGISTRY[env_id](config, seed=seed)
+    cls = _REGISTRY[env_id]
+    if (
+        config is not None and getattr(config, "multiview", False)
+        and not issubclass(cls, MultiviewMixin)
+    ):
+        cls = type(f"Multiview{cls.__name__}", (MultiviewMixin, cls), {})
+    return cls(config, seed=seed)

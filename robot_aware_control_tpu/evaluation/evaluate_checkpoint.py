@@ -78,13 +78,21 @@ def predict_videos(trainer: PredictionTrainer, loader, num_batches=2):
 
 
 def evaluate_fvd(cfg: Config, ckpt_path: str, loader=None, embed_fn=None):
-    """(reference: evaluation/evaluate_fvd.py:14)"""
+    """(reference: evaluation/evaluate_fvd.py:14). The returned artifact
+    carries the embedder honesty caveat alongside the number whenever the
+    value is not reference-comparable (no converted I3D weights)."""
+    from robot_aware_control_tpu.evaluation.fvd import embedder_caveat
+
     trainer = PredictionTrainer(cfg)
     trainer.load_checkpoint(ckpt_path, finetune=False)
     if loader is None:
         _, loader = trainer._setup_data()
     real, fake = predict_videos(trainer, iter(loader))
-    return {"fvd": fvd(real, fake, embed_fn)}
+    out = {"fvd": fvd(real, fake, embed_fn)}
+    caveat = embedder_caveat(embed_fn)
+    if caveat:
+        out["fvd_caveat"] = caveat
+    return out
 
 
 def main(argv=None):

@@ -96,6 +96,17 @@ def make_i3d_embed_fn(weights_path: Optional[str] = None) -> Callable:
     return embed
 
 
+def embedder_caveat(embed_fn: Optional[Callable]) -> Optional[str]:
+    """The honesty string that must travel with every artifact printing an
+    FVD number (VERDICT r3 item 8): None only for a weights-loaded I3D."""
+    if embed_fn is None:
+        return (
+            "random-feature embedder (no I3D weights): FVD values are "
+            "self-consistent, NOT comparable to reference I3D-FVD"
+        )
+    return getattr(embed_fn, "caveat", None)
+
+
 def fvd(real_videos, fake_videos,
         embed_fn: Optional[Callable] = None,
         i3d_weights: Optional[str] = None) -> float:
@@ -104,10 +115,7 @@ def fvd(real_videos, fake_videos,
     if embed_fn is None and i3d_weights is not None:
         embed_fn = make_i3d_embed_fn(i3d_weights)
     embed = embed_fn or default_embed_fn
-    caveat = getattr(embed, "caveat", None) if embed_fn is not None else (
-        "random-feature embedder (no I3D weights): FVD values are "
-        "self-consistent, NOT comparable to reference I3D-FVD"
-    )
+    caveat = embedder_caveat(embed_fn)
     if caveat:
         import sys
 

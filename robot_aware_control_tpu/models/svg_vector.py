@@ -122,11 +122,14 @@ def _init_common(key, cfg: Config, stochastic: bool):
     return params, state
 
 
-def _encode(cfg, params, state, image, mask, train, dtype):
+def _encode(cfg, params, state, image, mask, train, dtype, rng=None):
     img = image
     if cfg.model_use_mask:
         img = jnp.concatenate([image, mask], -1)
-    return encoder(params["encoder"], state["encoder"], img.astype(dtype), train)
+    return encoder(
+        params["encoder"], state["encoder"], img.astype(dtype), train,
+        dropout_rate=cfg.dropout, dropout_rng=rng,
+    )
 
 
 def _select_skip(skip, curr_skip, use_curr_skip, last_frame_skip):
@@ -163,8 +166,9 @@ def step(cfg: Config, params, state, carry: Carry, image, mask, robot,
          force_use_prior=False, sample_mean=False, train=False):
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     new_state = dict(state)
+    rng_p, rng_q, rng_drop = jax.random.split(rng, 3)
     h, curr_skip, new_state["encoder"] = _encode(
-        cfg, params, state, image, mask, train, dtype
+        cfg, params, state, image, mask, train, dtype, rng=rng_drop
     )
     skip = _select_skip(skip, curr_skip, use_curr_skip, cfg.last_frame_skip)
 
@@ -174,8 +178,6 @@ def step(cfg: Config, params, state, carry: Carry, image, mask, robot,
         r = robot[0] if isinstance(robot, tuple) else robot
         r = mlp_encoder(params["robot_enc"], r.astype(dtype))
         feats.append(r)
-
-    rng_p, rng_q = jax.random.split(rng)
     z_p, mu_p, logvar_p, prior_carry = L.gaussian_lstm_apply(
         params["prior"], carry.prior, jnp.concatenate(feats + [h], -1), rng_p
     )
@@ -187,6 +189,7 @@ def step(cfg: Config, params, state, carry: Carry, image, mask, robot,
         h_t, _, new_state["encoder"] = _encode(
             cfg, params, dict(state, encoder=new_state["encoder"]),
             next_image, next_mask, train, dtype,
+            rng=jax.random.fold_in(rng_drop, 101),
         )
         post_feats = [h_t]
         if cfg.model_use_robot_state:
@@ -237,11 +240,11 @@ class det:
 
     @staticmethod
     def step(cfg: Config, params, state, carry: DetCarry, image, mask, robot,
-             action, skip=None, use_curr_skip=None, train=False):
+             action, skip=None, use_curr_skip=None, train=False, rng=None):
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         new_state = dict(state)
         h, curr_skip, new_state["encoder"] = _encode(
-            cfg, params, state, image, mask, train, dtype
+            cfg, params, state, image, mask, train, dtype, rng=rng
         )
         skip = _select_skip(skip, curr_skip, use_curr_skip, cfg.last_frame_skip)
         a = mlp_encoder(params["action_enc"], action.astype(dtype))

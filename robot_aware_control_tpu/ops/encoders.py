@@ -117,12 +117,33 @@ def encoder_init(key, g_dim, nc, feat_hw=(4, 4)):
     return params, state
 
 
-def encoder(params, state, x, train):
+def _dropout2d(h, rate, rng, salt):
+    """Channel dropout (torch nn.Dropout2d): whole feature maps zeroed with
+    prob `rate`, survivors scaled by 1/(1-rate). The reference's vector
+    Encoder applies it to each stage output in train mode
+    (reference: vgg_64.py:68-79, constructed from --dropout at
+    dynamics.py:107)."""
+    keep = 1.0 - rate
+    k = jax.random.fold_in(rng, salt)
+    m = jax.random.bernoulli(k, keep, (h.shape[0], 1, 1, h.shape[-1]))
+    return h * m.astype(h.dtype) / keep
+
+
+def encoder(params, state, x, train, dropout_rate=None, dropout_rng=None):
+    use_drop = train and dropout_rate is not None and dropout_rng is not None
+
+    def drop(h, salt):
+        return _dropout2d(h, dropout_rate, dropout_rng, salt) if use_drop else h
+
     ns = {}
     h1, ns["c1"] = nn.vgg_stack(params["c1"], state["c1"], x, train)
+    h1 = drop(h1, 1)
     h2, ns["c2"] = nn.vgg_stack(params["c2"], state["c2"], nn.max_pool2(h1), train)
+    h2 = drop(h2, 2)
     h3, ns["c3"] = nn.vgg_stack(params["c3"], state["c3"], nn.max_pool2(h2), train)
+    h3 = drop(h3, 3)
     h4, ns["c4"] = nn.vgg_stack(params["c4"], state["c4"], nn.max_pool2(h3), train)
+    h4 = drop(h4, 4)
     h5 = nn.conv2d(params["c5"]["conv"], nn.max_pool2(h4), padding="VALID")
     h5, bn_s = nn.batchnorm(params["c5"]["bn"], state["c5"]["bn"], h5, train)
     ns["c5"] = {"bn": bn_s}

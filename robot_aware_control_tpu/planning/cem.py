@@ -128,11 +128,35 @@ class CEMPolicy:
                         acts, NamedSharding(self.mesh, P("data"))
                     )
                 padded = self.pad(acts)
-                sum_cost = engine(
-                    params, bn, start_img, start_state_norm, start_qpos,
-                    padded, goal_imgs, goal_masks, k_r,
-                    goal_states=goal_states,
-                )
+
+                def eval_all(p, key):
+                    return engine(
+                        params, bn, start_img, start_state_norm, start_qpos,
+                        p, goal_imgs, goal_masks, key,
+                        goal_states=goal_states,
+                    )
+
+                # --candidates_batch_size: evaluate candidates in bounded
+                # chunks (lax.map is sequential, so peak memory is one
+                # chunk's rollout). The reference chunks for the same reason
+                # (trajectory_sampler.py:72,123-127); on a device mesh the
+                # candidates shard over chips instead, so chunking only
+                # applies single-device.
+                cbs = int(cfg.candidates_batch_size or N)
+                chunk = min(cbs, N)
+                while N % chunk:
+                    chunk -= 1
+                if chunk < N and self.mesh is None:
+                    padded_c = padded.reshape((N // chunk, chunk)
+                                              + padded.shape[1:])
+                    keys = jax.vmap(
+                        lambda ci: jax.random.fold_in(k_r, ci)
+                    )(jnp.arange(N // chunk))
+                    sum_cost = jax.lax.map(
+                        lambda pc: eval_all(pc[0], pc[1]), (padded_c, keys)
+                    ).reshape(N)
+                else:
+                    sum_cost = eval_all(padded, k_r)
                 _, top_idx = jax.lax.top_k(sum_cost, K)
                 top_act = acts[top_idx]
                 new_mean = jnp.mean(top_act, axis=0)

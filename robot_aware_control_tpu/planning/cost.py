@@ -109,20 +109,34 @@ class InpaintBlurCost:
         # radius from the reference's truncate math: (w-1)/2 - 0.5 pixels
         self.radius = max(int(((cfg.img_dim * 2 - 1) / 2 - 0.5)), 1)
 
-    def __call__(self, img, goal, blur: bool = True):
+    def __call__(self, img, goal, blur=True):
+        """`blur` may be a python bool (static) or a traced boolean scalar —
+        the latter is how --unblur_timestep switches the planning rollout
+        from blurred to unblurred cost for the last steps of the horizon
+        (the reference documents this switch at config/__init__.py:66 but
+        never implements it: unblur_timestep has no consumer and
+        clutter_push.py:236 pins _use_unblur=False; we implement the
+        documented semantics)."""
         img = jnp.asarray(img, jnp.float32)
         goal = jnp.asarray(goal, jnp.float32)
         if img.ndim == 3:
             img = img[None]
         if goal.ndim == 3:
             goal = goal[None]
-        scale = -1.0
-        if blur:
-            img = jnp.floor(255.0 * gaussian_blur(img, self.sigma, self.radius)) / 255.0
-            goal = jnp.floor(255.0 * gaussian_blur(goal, self.sigma, self.radius)) / 255.0
-        else:
-            scale = -1.0 * self.unblur_cost_scale
-        return scale * jnp.mean((img - goal) ** 2, axis=(1, 2, 3))
+
+        def blurred_cost():
+            bi = jnp.floor(255.0 * gaussian_blur(img, self.sigma, self.radius)) / 255.0
+            bg = jnp.floor(255.0 * gaussian_blur(goal, self.sigma, self.radius)) / 255.0
+            return -1.0 * jnp.mean((bi - bg) ** 2, axis=(1, 2, 3))
+
+        def unblurred_cost():
+            return -self.unblur_cost_scale * jnp.mean(
+                (img - goal) ** 2, axis=(1, 2, 3)
+            )
+
+        if isinstance(blur, bool):
+            return blurred_cost() if blur else unblurred_cost()
+        return jnp.where(blur, blurred_cost(), unblurred_cost())
 
 
 def _mask2d(mask, like):

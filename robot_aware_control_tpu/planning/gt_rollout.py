@@ -90,6 +90,9 @@ class GTRolloutEngine:
                 goal_mask=goal_masks[t] if goal_masks is not None else gm[0],
                 curr_state=states_raw[:, t] if use_robot_cost else None,
                 goal_state=goal_states[t] if use_robot_cost else None,
+                # --unblur_timestep: last steps score unblurred (static
+                # here — the loop is python-unrolled over T)
+                blur=bool(t < T - cfg.unblur_timestep),
             ))
         rewards = jnp.stack(rewards)  # (T, N)
         sum_cost = rewards[-1] if cfg.sparse_cost else jnp.sum(rewards, 0)

@@ -84,8 +84,11 @@ class RolloutEngine:
         self.low = jnp.asarray(LOCOBOT_LOW)
         self.high = jnp.asarray(LOCOBOT_HIGH)
         size = (cfg.image_height, cfg.image_width)
+        # --cem_prediction_use_thick_mask (default True == the reference's
+        # hardcoded thick=True, trajectory_sampler.py:107; see config.py)
+        self._thick = bool(cfg.cem_prediction_use_thick_mask)
         self.renderer_thick = CapsuleMaskRenderer(
-            size, camera_key, thick=True, modified=cfg.modified
+            size, camera_key, thick=self._thick, modified=cfg.modified
         )
         self.use_robot = _needs_robot_model(cfg)
         # control_franka / control_wx250s plan with the robot's OWN measured
@@ -107,7 +110,7 @@ class RolloutEngine:
             shift = (LOCO_FRANKA_DIFF if self.chain_robot == "franka"
                      else LOCO_WX250S_DIFF)
             self.chain_env = ChainMaskEnv(
-                self.chain_robot, image_size=size, thick=True
+                self.chain_robot, image_size=size, thick=self._thick
             )
             self.chain = self.chain_env.chain
             self.chain_shift = jnp.asarray(shift, jnp.float32)
@@ -274,6 +277,15 @@ class RolloutEngine:
         if heatmaps is not None:
             xs["hm_t"] = heatmaps[:-1]
             xs["hm_t1"] = heatmaps[1:]
+        if cfg.reward_type == "inpaint-blur":
+            # --unblur_timestep: the last `unblur_timestep` rollout steps
+            # score UNBLURRED (scaled by unblur_cost_scale) — the switch
+            # the reference documents at config/__init__.py:66 but never
+            # wires (see planning/cost.py InpaintBlurCost)
+            n_steps = xs["a"].shape[0]
+            xs["blur_flag"] = (
+                jnp.arange(n_steps) < n_steps - cfg.unblur_timestep
+            )
 
         blackout = cfg.dontcare  # dontcare recon loss or black_robot_input
 
@@ -305,6 +317,7 @@ class RolloutEngine:
                 curr_mask=inp["m_t1"], goal_mask=inp["goal_mask"],
                 curr_state=inp["s_raw_t1"] if use_robot_cost else None,
                 goal_state=inp["goal_state"] if use_robot_cost else None,
+                blur=inp.get("blur_flag", True),
             )
             new_carry = {"model": model_carry, "img": next_img, "rng": rng}
             emit = (reward, next_img) if ret_obs else reward

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import optax
 
 from robot_aware_control_tpu.config import Config
-from robot_aware_control_tpu.models import det, svg
+from robot_aware_control_tpu.models import copy_model, det, svg
 from robot_aware_control_tpu.models.common import composite as model_composite, skip_zeros
 from robot_aware_control_tpu.models.registry import is_stochastic
 from robot_aware_control_tpu.models.registry import get_model
@@ -80,9 +80,10 @@ def _model_step(cfg, params, bn, carry, skip, use_curr_skip, x_j, m_in, r_in,
         )
     elif cfg.model in ("det", "det_vec"):
         mod = det if cfg.model == "det" else _svg_vector().det
+        kwargs = {"rng": rng} if cfg.model == "det_vec" else {}  # dropout
         out, new_carry, new_bn = mod.step(
             cfg, params, bn, carry, x_j, m_in, r_in, a_j,
-            skip=skip, use_curr_skip=use_curr_skip, train=train,
+            skip=skip, use_curr_skip=use_curr_skip, train=train, **kwargs,
         )
         out = dict(out, mu=None, logvar=None, mu_p=None, logvar_p=None)
     elif cfg.model in ("cdna_det", "cdna_robonet"):
@@ -296,6 +297,51 @@ def make_train_step(cfg: Config):
         return new_params, new_bn, new_opt_state, metrics
 
     return jax.jit(train_step, donate_argnums=(0, 1, 2)), tx
+
+
+def make_copy_eval_step(cfg: Config, autoregressive: bool = True):
+    """Jitted eval window for the parameter-free CopyModel, producing the
+    SAME per-step metric keys as `make_eval_step` so the copy baseline's
+    epoch metrics are key-compatible with learned-model eval (reference:
+    trainer.py:606-607 routes `cf.model == "copy"` through the shared
+    `_eval_step` metric block at :677-697; baseline scope at :794-827).
+
+    Signature matches make_eval_step's product: (params, bn, batch, rng) ->
+    (per_step_metrics, preds); params/bn/rng are ignored (no parameters,
+    deterministic)."""
+
+    def eval_step(params, bn_state, batch, rng):
+        del params, bn_state, rng
+        x = jnp.asarray(batch["images"], jnp.float32)
+        tm = jnp.asarray(batch["masks"], jnp.float32)
+
+        def scan_step(x_prev, inp):
+            x_i, tm_i = inp
+            # copy world pixels of the previous frame through the next
+            # true mask (dynamics.py:341-360: forward(image, mask,
+            # next_image, next_mask); AR feeds the previous prediction)
+            x_pred = copy_model.step(x_prev, x_i, tm_i)
+            recon = _recon_loss(cfg, x_pred, x_i, tm_i)
+            x_pred_black = L.zero_robot_region(tm_i, x_pred)
+            x_i_black = L.zero_robot_region(tm_i, x_i)
+            p = M.psnr(
+                jnp.clip(x_i_black, 0, 1), jnp.clip(x_pred_black, 0, 1)
+            ).mean()
+            s = M.ssim(x_i_black, x_pred_black).mean()
+            step_metrics = {
+                "recon_loss": recon,
+                "robot_loss": L.robot_mse_criterion(x_pred, x_i, tm_i),
+                "world_loss": L.world_mse_criterion(x_pred, x_i, tm_i),
+                "psnr": p,
+                "ssim": s,
+            }
+            next_prev = x_pred if autoregressive else x_i
+            return next_prev, (step_metrics, x_pred)
+
+        _, (per_step, preds) = jax.lax.scan(scan_step, x[0], (x[1:], tm[1:]))
+        return per_step, preds
+
+    return jax.jit(eval_step)
 
 
 def make_eval_step(cfg: Config, autoregressive: bool = True):

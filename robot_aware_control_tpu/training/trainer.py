@@ -46,7 +46,6 @@ from robot_aware_control_tpu.data.synthetic import SyntheticDataset
 from robot_aware_control_tpu.models import copy_model
 from robot_aware_control_tpu.models.registry import get_model
 from robot_aware_control_tpu.models import robot_mlp
-from robot_aware_control_tpu.ops import losses as L
 from robot_aware_control_tpu.parallel import mesh as pmesh
 from robot_aware_control_tpu.robot.analytical import get_robot_model
 from robot_aware_control_tpu.robot.mask_renderer import CapsuleMaskRenderer
@@ -54,6 +53,7 @@ from robot_aware_control_tpu.training import checkpoint as ckpt
 from robot_aware_control_tpu.training.logger import RunLogger, make_log_folder
 from robot_aware_control_tpu.training.plot import eval_gif
 from robot_aware_control_tpu.training.step import (
+    make_copy_eval_step,
     make_eval_step,
     make_train_step,
 )
@@ -82,6 +82,12 @@ class PredictionTrainer:
             self.eval_step_1 = make_eval_step(cfg, autoregressive=False)
         else:
             self.params = self.bn = self.opt_state = None
+            # parameter-free eval steps with the same metric keys, so the
+            # copy baseline reuses the full _eval_epoch machinery
+            # (reference routes "copy" through the shared eval step,
+            # trainer.py:606-607)
+            self.eval_step_ar = make_copy_eval_step(cfg, autoregressive=True)
+            self.eval_step_1 = make_copy_eval_step(cfg, autoregressive=False)
 
         # device mesh (single device degrades gracefully). With
         # model_axis_size > 1 the mesh is 2-D (data, model): batch shards
@@ -95,17 +101,23 @@ class PredictionTrainer:
             cfg.batch_size % (ndev // tp) or cfg.test_batch_size % (ndev // tp)
         ):
             ndev -= tp
+        # --mesh_axes names the mesh dimensions (data axis first; a second
+        # name is used for the tensor-parallel axis when model_axis_size>1)
+        axes = tuple(cfg.mesh_axes) or ("data",)
+        data_ax = axes[0]
+        model_ax = axes[1] if len(axes) > 1 else "model"
+        self._mesh_axis_names = (data_ax, model_ax)
         if tp > 1 and ndev >= tp:
-            self.mesh = pmesh.get_mesh_2d(tp, ndev)
+            self.mesh = pmesh.get_mesh_2d(tp, ndev, axes=(data_ax, model_ax))
         elif ndev > 1:
-            self.mesh = pmesh.get_mesh(ndev)
+            self.mesh = pmesh.get_mesh(ndev, axis=data_ax)
         else:
             self.mesh = None
         if self.mesh is not None and self.params is not None:
             if cfg.param_sharding == "model" and tp > 1:
-                put = lambda t: pmesh.shard_params(self.mesh, t, "model")
+                put = lambda t: pmesh.shard_params(self.mesh, t, model_ax)
             elif cfg.param_sharding == "data":
-                put = lambda t: pmesh.shard_params(self.mesh, t, "data")
+                put = lambda t: pmesh.shard_params(self.mesh, t, data_ax)
             else:
                 put = lambda t: pmesh.replicate(self.mesh, t)
             self.params = put(self.params)
@@ -297,7 +309,8 @@ class PredictionTrainer:
         arrs = {k: (v if isinstance(v, jax.Array) else np.asarray(v))
                 for k, v in window.items() if not isinstance(v, (list, str))}
         if self.mesh is not None:
-            return pmesh.shard_batch(self.mesh, arrs, batch_axis_index=1)
+            return pmesh.shard_batch(self.mesh, arrs, batch_axis_index=1,
+                                     axis=self._mesh_axis_names[0])
         return {k: (v if isinstance(v, jax.Array) else jnp.asarray(v))
                 for k, v in arrs.items()}
 
@@ -406,8 +419,9 @@ class PredictionTrainer:
                     prefix: str = "eval/"):
         """Epoch metrics over the eval iterator. `num_batches` caps the
         batches (0 = cfg.eval_batches; cfg 0 = the FULL set, matching the
-        reference's whole-set eval, trainer.py:467-489)."""
-        cap = num_batches or self.cfg.eval_batches
+        reference's whole-set eval, trainer.py:467-489; -1 = force the
+        full set regardless of cfg — the copy baseline's scope)."""
+        cap = self.cfg.eval_batches if num_batches == 0 else max(num_batches, 0)
         agg = defaultdict(float)
         n = 0
         for batch in test_iter:
@@ -420,7 +434,7 @@ class PredictionTrainer:
                 break
         return {k: v / max(n, 1) for k, v in agg.items()}, n
 
-    def _plot_eval(self, batch: Dict, epoch: int):
+    def _plot_eval(self, batch: Dict, epoch: int, tag: str = "eval"):
         cfg = self.cfg
         T = len(batch["images"])
         if T < cfg.n_eval:
@@ -430,12 +444,12 @@ class PredictionTrainer:
         dev = self._device_batch(w)
         _, preds = self.eval_step_ar(self.params, self.bn, dev, self._next_key())
         path = eval_gif(
-            os.path.join(self.log_dir, f"eval_{epoch}.gif"),
+            os.path.join(self.log_dir, f"{tag}_{epoch}.gif"),
             np.asarray(w["images"][1:]), np.asarray(preds),
             masks=np.asarray(w["masks"][1:]),
         )
         if path:
-            self.logger.video(path, self._step, key="eval/rollout")
+            self.logger.video(path, self._step, key=f"{tag}/rollout")
 
     # ------------------------------------------------------------------
     def _save(self, epoch: int):
@@ -553,31 +567,33 @@ class PredictionTrainer:
 
     # ------------------------------------------------------------------
     def copy_baseline(self):
-        """CopyModel world-error floor (trainer.py:794-827)."""
+        """CopyModel world-error floor at full reference scope
+        (trainer.py:794-827): FULL-epoch metrics over train + test (+
+        transfer for the multiview/robonet experiments), the same
+        1step_/autoreg_ recon/robot/world/psnr/ssim keys as learned-model
+        eval, one rollout gif per split, and each split's metrics logged at
+        step 0 AND a large step so dashboards draw the horizontal
+        floor line the reference draws (trainer.py:815-827)."""
         cfg = self.cfg
-        _, test_loader = self._setup_data()
-        agg = defaultdict(float)
-        n = 0
-        for batch in test_loader:
-            x = jnp.asarray(batch["images"])
-            m = jnp.asarray(batch["masks"])
-            T = x.shape[0]
-            for t in range(1, min(T, cfg.n_eval)):
-                pred = copy_model.step(x[t - 1], x[t], m[t])
-                agg["world_loss"] += float(
-                    L.world_mse_criterion(pred, x[t], m[t])
-                )
-                agg["robot_loss"] += float(
-                    L.robot_mse_criterion(pred, x[t], m[t])
-                )
-                n += 1
-            break
-        metrics = {k: v / max(n, 1) for k, v in agg.items()}
-        self.logger.scalars(metrics, 0, prefix="copy/")
-        self.logger.info(
-            "copy baseline " + " ".join(f"{k}={v:.5f}" for k, v in metrics.items())
-        )
-        return metrics
+        train_loader, test_loader = self._setup_data()
+        results = {}
+        splits = [("train", train_loader), ("test", test_loader)]
+        if self.transfer_loader is not None:
+            splits.append(("transfer", self.transfer_loader))
+        for name, loader in splits:
+            metrics, n = self._eval_epoch(iter(loader), num_batches=-1)
+            self.logger.scalars(metrics, 0, prefix=f"{name}/")
+            self.logger.scalars(metrics, 500000, prefix=f"{name}/")
+            self.logger.info(
+                f"copy baseline [{name}] ({n} batches) "
+                + " ".join(f"{k}={v:.5f}" for k, v in sorted(metrics.items()))
+            )
+            try:
+                self._plot_eval(next(iter(loader)), 0, tag=name)
+            except StopIteration:
+                pass
+            results[name] = metrics
+        return results
 
 
 def main(argv=None):
