@@ -241,18 +241,23 @@ def run_locobot(args, results):
 
 
 def chain_qpos_samples(robot: str, n: int, frac: float = 0.6,
-                       oracle=None, min_px: Optional[int] = None):
+                       oracle=None, min_px: Optional[int] = None,
+                       seed: int = 0):
     """Seeded uniform joint draws within the central `frac` of each MJCF
     joint range — a stand-in for dataset qpos distributions. When an
     oracle is given, rejection-sample configurations the calibrated
     camera actually sees (>= min_px robot pixels, default ~2.8% of the
     frame): dataset trajectories keep the arm over the table by
     construction, so a pose showing only a sliver at the frame edge is
-    out-of-workspace, not a mask-fidelity case."""
+    out-of-workspace, not a mask-fidelity case.
+
+    `seed` separates the TUNE pose set (seed 0) from the held-out EVAL
+    set (seed 1): tuned numbers are only ever reported on poses the
+    tuner never saw (VERDICT r3 Weak #2)."""
     from robot_aware_control_tpu.robot.kinematic_chain import CHAINS
 
     chain = CHAINS[robot]
-    rng = np.random.RandomState(0)
+    rng = np.random.RandomState(seed)
     lo = chain.jnt_range[:, 0]
     hi = chain.jnt_range[:, 1]
     mid = 0.5 * (lo + hi)
@@ -276,7 +281,17 @@ def chain_qpos_samples(robot: str, n: int, frac: float = 0.6,
     return np.asarray(out, np.float32)
 
 
-def run_chain_robot(robot: str, args, results, tuned):
+def _iou_stats(ious):
+    return {
+        "mean_iou": float(np.mean(ious)),
+        "min_iou": float(np.min(ious)),
+        "p25_iou": float(np.percentile(ious, 25)),
+        "median_iou": float(np.median(ious)),
+    }
+
+
+def run_chain_robot(robot: str, args, results, tuned, tuned_ext):
+    import jax
     import jax.numpy as jnp
 
     from robot_aware_control_tpu.data import calibration as calib
@@ -286,8 +301,10 @@ def run_chain_robot(robot: str, args, results, tuned):
     cam_ext = calib.get_camera_to_world(cam_key)
     w, h = kc.CHAIN_DATA[robot]["native_size"]
     oracle = ChainMaskOracle(robot, cam_ext, h, w)
-    qpos = chain_qpos_samples(robot, args.n, oracle=oracle)
-    if len(qpos) == 0:
+    # disjoint seeded pose sets: tune on A (seed 0), report on B (seed 1)
+    qpos_t = chain_qpos_samples(robot, args.n, oracle=oracle, seed=0)
+    qpos_e = chain_qpos_samples(robot, args.n, oracle=oracle, seed=1)
+    if len(qpos_t) == 0 or len(qpos_e) == 0:
         results[robot] = {"skipped": "no camera-visible configurations"}
         print(robot, "skipped: no visible configs")
         return
@@ -295,52 +312,74 @@ def run_chain_robot(robot: str, args, results, tuned):
     # POE FK parity vs MuJoCo joint anchors
     chain = kc.CHAINS[robot]
     fk_err = []
-    for q in qpos[: min(len(qpos), 16)]:
+    for q in qpos_e[: min(len(qpos_e), 16)]:
         mine = np.asarray(chain.fk_frames(jnp.asarray(q))[0])
         ref = oracle.fk_anchors(q)
         fk_err.append(np.abs(mine - ref).max())
     fk_err = float(np.max(fk_err))
 
-    mj = np.stack([oracle.mask(q) for q in qpos])
+    mj_t = np.stack([oracle.mask(q) for q in qpos_t])
+    mj_e = np.stack([oracle.mask(q) for q in qpos_e])
 
     base_robot = "baxter" if robot == "baxter_right" else robot
     arm = "right" if robot == "baxter_right" else "left"
+    env = kc.ChainMaskEnv(base_robot, image_size=(h, w), arm=arm)
+    render = jax.jit(env.render_with)
+    qt, qe = jnp.asarray(qpos_t), jnp.asarray(qpos_e)
 
-    def render(radii=None):
-        env = kc.ChainMaskEnv(base_robot, image_size=(h, w), arm=arm)
-        if radii is not None:
-            env.radii = jnp.asarray(radii, jnp.float32)
-            env._render = __import__("jax").jit(env._render_impl)
-        return np.asarray(env.generate_masks(qpos))[..., 0] > 0.5
+    def masks_of(q, radii, ext):
+        return np.asarray(
+            render(q, jnp.asarray(radii, jnp.float32),
+                   jnp.asarray(ext, jnp.float32))
+        )[..., 0] > 0.5
 
-    caps = render()
-    ious = [iou(a, b) for a, b in zip(mj, caps)]
+    def ious_of(q, mj, radii, ext):
+        return [iou(a, b) for a, b in zip(mj, masks_of(q, radii, ext))]
+
+    # shipped parameters = what the planner actually renders with
+    ship_r = np.asarray(env.radii, np.float32)
+    ship_e = np.asarray(env.ext, np.float32)
     entry = {
-        "mean_iou": float(np.mean(ious)),
-        "min_iou": float(np.min(ious)),
-        "median_iou": float(np.median(ious)),
+        **_iou_stats(ious_of(qe, mj_e, ship_r, ship_e)),
         "fk_max_err_m": fk_err,
-        "mj_mean_px": float(mj.sum(axis=(1, 2)).mean()),
-        "capsule_mean_px": float(caps.sum(axis=(1, 2)).mean()),
-        "n": len(ious),
+        "mj_mean_px": float(mj_e.sum(axis=(1, 2)).mean()),
+        "capsule_mean_px": float(
+            masks_of(qe, ship_r, ship_e).sum(axis=(1, 2)).mean()
+        ),
+        "n_tune": len(qpos_t),
+        "n_eval": len(qpos_e),
         "camera": cam_key,
         "size": [h, w],
     }
 
     if args.tune:
-        radii = np.asarray(
-            kc.TUNED_RADII.get(robot, kc.CHAIN_DATA[robot]["caps_r"]),
-            np.float32,
-        ).copy()
+        # tuning starts from the MEASURED geometry (not prior tuned
+        # values), scores ONLY on the tune set, and reports held-out
+        radii = np.asarray(kc.CHAIN_DATA[robot]["caps_r"], np.float32).copy()
+        ext = np.zeros(len(radii), np.float32)
+        # capsules can shorten at most 45% of their axis per end
+        cap_len = np.linalg.norm(
+            kc.CHAIN_DATA[robot]["caps_b"] - kc.CHAIN_DATA[robot]["caps_a"],
+            axis=1,
+        ).astype(np.float32)
+        ext_lo = -0.45 * cap_len
 
-        def score(r):
-            c = render(r)
-            return float(np.mean([iou(a, b) for a, b in zip(mj, c)]))
+        mjm_t = jnp.asarray(mj_t)
 
-        best = score(radii)
-        # global scale first, then per-capsule coordinate descent
+        @jax.jit
+        def score_fn(r, e):
+            m = env.render_with(qt, r, e)[..., 0] > 0.5
+            inter = jnp.logical_and(m, mjm_t).sum((1, 2))
+            union = jnp.logical_or(m, mjm_t).sum((1, 2))
+            return jnp.mean(inter / jnp.maximum(union, 1))
+
+        def score(r, e):
+            return float(score_fn(jnp.asarray(r, jnp.float32),
+                                  jnp.asarray(e, jnp.float32)))
+
+        best = score(radii, ext)
         for s in (0.8, 0.9, 1.1, 1.2, 1.35):
-            v = score(radii * s)
+            v = score(radii * s, ext)
             if v > best:
                 best, radii = v, radii * s
         for _ in range(args.tune_rounds):
@@ -349,25 +388,40 @@ def run_chain_robot(robot: str, args, results, tuned):
                 for d in (-0.02, -0.01, -0.005, 0.005, 0.01, 0.02):
                     r2 = radii.copy()
                     r2[i] = max(0.004, r2[i] + d)
-                    v = score(r2)
+                    v = score(r2, ext)
                     if v > best + 1e-5:
                         best, radii, improved = v, r2, True
+                for d in (-0.03, -0.015, -0.0075, 0.0075, 0.015, 0.03):
+                    e2 = ext.copy()
+                    e2[i] = max(float(ext_lo[i]), e2[i] + d)
+                    v = score(radii, e2)
+                    if v > best + 1e-5:
+                        best, ext, improved = v, e2, True
             if not improved:
                 break
-        entry["tuned_iou"] = best
+        entry["tuned_iou_tune_set"] = best  # in-sample, for the record
+        entry["tuned_heldout"] = _iou_stats(ious_of(qe, mj_e, radii, ext))
         tuned[robot] = [round(float(x), 4) for x in radii]
+        tuned_ext[robot] = [round(float(x), 4) for x in ext]
     results[robot] = entry
     print(robot, json.dumps(entry))
 
 
-def write_tuned(tuned, path):
+def write_tuned(tuned, tuned_ext, path):
     lines = [
-        '"""Capsule radii tuned against MuJoCo segmentation renders',
-        '(GENERATED — benchmarks/mask_fidelity.py --tune)."""',
+        '"""Capsule radii + axial extensions tuned against MuJoCo',
+        "segmentation renders on the seed-0 pose set; held-out fidelity",
+        "measured on the disjoint seed-1 set (GENERATED —",
+        'benchmarks/mask_fidelity.py --tune)."""',
         "",
         "TUNED_RADII = {",
     ]
     for k, v in sorted(tuned.items()):
+        lines.append(f"    {k!r}: {v},")
+    lines.append("}")
+    lines.append("")
+    lines.append("TUNED_EXT = {")
+    for k, v in sorted(tuned_ext.items()):
         lines.append(f"    {k!r}: {v},")
     lines.append("}")
     with open(path, "w") as f:
@@ -407,20 +461,23 @@ def main():
         if args.robots == "all"
         else tuple(args.robots.split(","))
     )
-    results, tuned = {}, {}
+    results, tuned, tuned_ext = {}, {}, {}
     for robot in robots:
         if robot == "locobot":
             run_locobot(args, results)
         else:
-            run_chain_robot(robot, args, results, tuned)
+            run_chain_robot(robot, args, results, tuned, tuned_ext)
 
     if args.tune and tuned:
         from robot_aware_control_tpu.robot import kinematic_chain as kc
 
         merged = dict(kc.TUNED_RADII)
         merged.update(tuned)
+        merged_ext = dict(kc.TUNED_EXT)
+        merged_ext.update(tuned_ext)
         write_tuned(
             merged,
+            merged_ext,
             os.path.join(
                 os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                 "robot_aware_control_tpu/robot/_chain_tuned.py",

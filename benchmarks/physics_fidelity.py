@@ -203,11 +203,13 @@ SCENARIOS = {
                  "actions": [[0.87, 0.5]] * 6},
     "angle_60": {"obj": [[0.3, 0.05]], "eef": [0.26, -0.02, 0.07],
                  "actions": [[0.5, 0.87]] * 6},
-    # slow pushes (half / quarter speed)
+    # slow pushes (half / quarter speed); quarter speed is BELOW the
+    # quasi-static validity envelope (envs/base.py:QUASISTATIC_MIN_PUSH)
+    # — kept in the suite to quantify the out-of-envelope error
     "slow_half": {"obj": [[0.32, 0.0]], "eef": [0.26, 0.0, 0.07],
                   "actions": [[0.5, 0]] * 10},
     "slow_quarter": {"obj": [[0.31, 0.0]], "eef": [0.27, 0.0, 0.07],
-                     "actions": [[0.25, 0]] * 12},
+                     "actions": [[0.25, 0]] * 12, "below_envelope": True},
     # short tap then stop
     "tap_and_stop": {"obj": [[0.3, 0.0]], "eef": [0.26, 0.0, 0.07],
                      "actions": [[1, 0]] * 2 + [[0, 0]] * 4},
@@ -282,13 +284,62 @@ def main():
         for k in range(len(objs)):
             if mj_final[k] > 5e-3:
                 ratios.append(float(an_final[k] / mj_final[k]))
+    # speed sweep: same head-on push at commanded speeds from full to
+    # 1/8, equal total commanded travel — quantifies the quasi-static
+    # envelope (envs/base.py:QUASISTATIC_MIN_PUSH) per regime
+    sweep = {}
+    for speed in (1.0, 0.75, 0.5, 0.375, 0.25, 0.125):
+        n = min(48, int(round(8 / speed)))
+        acts = [[speed, 0]] * n
+        objs = np.array([[0.31, 0.0]])
+        oracle.reset(objs, np.array([0.26, 0.0, 0.07]))
+        start = oracle.obj_xys()
+        mj_traj = []
+        for a in acts:
+            oracle.step([a[0], a[1], 0.0])
+            mj_traj.append(oracle.obj_xys() - start)
+        mj_traj = np.stack(mj_traj)
+        an_traj = analytic_rollout([0.26, 0.0, 0.07], objs, acts) - objs[None]
+        err = float(np.abs(mj_traj - an_traj).max())
+        mj_f = float(np.linalg.norm(mj_traj[-1], axis=-1)[0])
+        an_f = float(np.linalg.norm(an_traj[-1], axis=-1)[0])
+        sweep[speed] = {
+            "steps": n,
+            "in_envelope": speed >= 0.5,
+            "max_step_err_m": err,
+            "mj_final_disp_m": mj_f,
+            "analytic_final_disp_m": an_f,
+            "final_ratio": an_f / mj_f if mj_f > 5e-3 else None,
+        }
+        print(f"speed {speed}: max_err {err:.4f} "
+              f"final mj {mj_f:.4f} analytic {an_f:.4f}")
+    results["speed_sweep"] = sweep
+
     errs_np = np.asarray(errs)
+    in_env = [results[n]["max_step_err_m"] for n in SCENARIOS
+              if not SCENARIOS[n].get("below_envelope")]
+    in_env += [s["max_step_err_m"] for s in sweep.values()
+               if s["in_envelope"]]
+    below = [results[n]["max_step_err_m"] for n in SCENARIOS
+             if SCENARIOS[n].get("below_envelope")]
+    below += [s["max_step_err_m"] for s in sweep.values()
+              if not s["in_envelope"]]
     results["summary"] = {
         "max_abs_err_m": float(errs_np.max()),
         "p90_err_m": float(np.percentile(errs_np, 90)),
         "median_err_m": float(np.median(errs_np)),
         "per_scenario_max_err_m": {
             n: results[n]["max_step_err_m"] for n in SCENARIOS
+        },
+        # quasi-static envelope accounting (VERDICT r3 #7): the model is
+        # only claimed for commanded contact pushes >= QUASISTATIC_MIN_PUSH
+        "envelope": {
+            "min_push_speed": 0.5,
+            "max_err_in_envelope_m": float(np.max(in_env)),
+            "max_err_below_envelope_m": (float(np.max(below))
+                                         if below else None),
+            "n_in_envelope": len(in_env),
+            "n_below": len(below),
         },
         "mean_final_ratio": float(np.mean(ratios)) if ratios else None,
         "n_scenarios": len(SCENARIOS),

@@ -73,7 +73,19 @@ class PlanServer:
         from robot_aware_control_tpu.planning.cem import CEMPolicy
 
         self.cfg = cfg
-        self.policy = (policy_cls or CEMPolicy)(cfg, params, bn, **policy_kw)
+        # Served-plan consistency: with micro-batching on, the single-path
+        # and batched programs must trace the SAME cells, or a request's
+        # plan would depend on what else happened to be queued (the fused
+        # Pallas ConvLSTM cell doesn't admit the batched program's extra
+        # vmap axis — planning/cem.py:get_action_batched). A batching
+        # server therefore plans with the XLA cells on BOTH paths;
+        # --fused_lstm serving is single-client-only (batch_plans=False).
+        plan_cfg = cfg
+        self.consistent_cells = bool(batch_plans) and cfg.fused_lstm
+        if self.consistent_cells:
+            plan_cfg = cfg.replace(fused_lstm=False)
+        self.policy = (policy_cls or CEMPolicy)(plan_cfg, params, bn,
+                                                **policy_kw)
         self._srv = socket.create_server((host, port))
         self.address = self._srv.getsockname()
         self._shutdown = False
@@ -197,6 +209,8 @@ class PlanServer:
                             "action_candidates": p.num_candidates,
                             "action_dim": p.action_dim,
                             "plan_quantize": self.cfg.plan_quantize,
+                            "fused_lstm": self.policy.cfg.fused_lstm,
+                            "batch_plans": self._batch_plans,
                             "requests": self._requests,
                         })
                     elif cmd == "plan":

@@ -62,6 +62,19 @@ COAST_DECAY = 0.3
 # Center distance at which two blocks push each other (2x half-extent,
 # face contact of the 4 cm cubes with a little margin for corners).
 BLOCK_TOUCH = 0.044
+# Quasi-static validity envelope: the projection-contact fit holds for
+# commanded contact pushes with |action_xy| >= this fraction of the full
+# step. Below it, MuJoCo's mocap weld behaves impulsively — a roughly
+# speed-independent ~0.015 m engagement kick, a multi-step dead zone
+# while the weld spring re-tensions, then tip-escape with NON-monotonic
+# block motion (the slow_quarter block retreats 0.074 -> 0.066 m while
+# the tip advances; benchmarks/physics_fidelity.py --out, speed_sweep
+# section) — no quasi-static model tracks that regime, and a
+# speed-dependent efficiency fit makes the final displacement WORSE
+# (steady-state eff at quarter speed is 0.25, which undershoots the
+# engagement kick). Inside the envelope every scripted scenario's max
+# step error is <= 0.05 m (benchmarks/physics_fidelity.json:summary).
+QUASISTATIC_MIN_PUSH = 0.5
 
 
 class SimState(NamedTuple):
@@ -397,6 +410,7 @@ class RobotEnv:
 
     def step(self, action):
         action = np.clip(np.asarray(action, np.float32), -1.0, 1.0)
+        self._check_quasistatic(action)
         for _ in range(self._action_repeat):
             self.state = self._step_fn(self.state, jnp.asarray(action))
         self._t += 1
@@ -404,6 +418,34 @@ class RobotEnv:
         done = self._t >= self.max_episode_length
         info = {"reward": 0.0}
         return obs, 0.0, done, info
+
+    def _check_quasistatic(self, action):
+        """Assert the quasi-static validity envelope (QUASISTATIC_MIN_PUSH):
+        a commanded contact push slower than half the full action step is
+        outside the fitted contact regime — warn once per env so slow-push
+        rollouts are flagged rather than silently mis-modeled."""
+        if getattr(self, "_warned_slow_push", False):
+            return
+        a_xy = float(np.linalg.norm(action[:2]))
+        if not (1e-6 < a_xy < QUASISTATIC_MIN_PUSH):
+            return
+        eef = np.asarray(self.state.eef)
+        obj = np.asarray(self.state.obj_pos)
+        free = np.asarray(self.state.attached) < 0.5
+        reach = CONTACT_RADIUS + a_xy * ACTION_SCALE
+        d = np.linalg.norm(obj[:, :2] - eef[None, :2], axis=-1)
+        if bool(np.any(free & (d < reach))):
+            import warnings
+
+            warnings.warn(
+                f"commanded contact push |a_xy|={a_xy:.2f} is below the "
+                f"quasi-static validity envelope (>= "
+                f"{QUASISTATIC_MIN_PUSH}): the analytic contact model is "
+                "fitted for faster pushes (envs/base.py:QUASISTATIC_MIN_"
+                "PUSH; benchmarks/physics_fidelity.py speed sweep)",
+                RuntimeWarning, stacklevel=3,
+            )
+            self._warned_slow_push = True
 
     # --- rollout branching (reference: robot_env.py:202-217) -----------
     def get_flattened_state(self):

@@ -221,13 +221,16 @@ class CEMPolicy:
         (control/plan_server.py). Returns (R, horizon-1, action_dim).
 
         Each request gets exactly the seeding/normalization of
-        get_action, so result[i] matches
-        get_action(starts[i], goals[i], ep_nums[i], steps[i]) —
-        bit-identical when both trace the same cells; on TPU with
-        --fused_lstm the single path uses the Pallas cell and the batched
-        program the XLA cells (see below), which agree to lowering noise.
-        No reference analogue (the reference plans one request per GPU
-        process, src/cem/cem.py:56)."""
+        get_action, so result[i] is bit-identical to
+        get_action(starts[i], goals[i], ep_nums[i], steps[i]) when both
+        trace the same cells (tests/test_plan_server.py::
+        test_batched_matches_single). With --fused_lstm the single path
+        uses the Pallas cell while the batched program must fall back to
+        the XLA cells (see below) — so a consistency-critical serving
+        deployment either disables batching or plans with the XLA cells
+        on both paths; PlanServer enforces the latter by default
+        (control/plan_server.py). No reference analogue (the reference
+        plans one request per GPU process, src/cem/cem.py:56)."""
         R = len(starts)
         ep_nums = ep_nums if ep_nums is not None else [0] * R
         steps = steps if steps is not None else [0] * R
@@ -259,11 +262,18 @@ class CEMPolicy:
             in_axes = (None, None) + tuple(0 if h else None for h in has)
             fn = jax.jit(jax.vmap(self._build_plan(engine), in_axes=in_axes))
             self._plan_batched[key] = fn
+        # bucket the batch axis: pad to the next power of two by repeating
+        # the last request, so sustained serving (arbitrary drained batch
+        # sizes, control/plan_server.py:_plan_batch) compiles at most
+        # log2(R_max) programs instead of one per distinct batch size
+        r_pad = 1 << (R - 1).bit_length()
+        if r_pad != R:
+            preps = preps + [preps[-1]] * (r_pad - R)
         args = tuple(
             jnp.stack([p[i] for p in preps]) if has[i] else None
             for i in range(len(has))
         )
-        return np.asarray(fn(self.params, self.bn, *args))
+        return np.asarray(fn(self.params, self.bn, *args))[:R]
 
     def _plot_rollouts(self, plan, start, goal, ep_num, step):
         """Save a top-K rollout strip gif for the final plan

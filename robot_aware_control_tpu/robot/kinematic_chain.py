@@ -37,6 +37,10 @@ try:  # radii tuned against MuJoCo segmentation renders (mask_fidelity.py)
     from robot_aware_control_tpu.robot._chain_tuned import TUNED_RADII
 except ImportError:  # pragma: no cover - tuning not yet run
     TUNED_RADII = {}
+try:  # per-capsule axial extensions from the same held-out tuning pass
+    from robot_aware_control_tpu.robot._chain_tuned import TUNED_EXT
+except ImportError:  # pragma: no cover - tuning not yet run
+    TUNED_EXT = {}
 
 
 def _rot(axis, th):
@@ -258,6 +262,13 @@ class ChainMaskEnv:
         )
         scale = 1.45 if thick else 1.0
         self.radii = jnp.asarray(radii * scale, jnp.float32)
+        # per-capsule axial endpoint extension (m): the mesh fitter pulls
+        # capsule endpoints inside the hull (extract_chain_geometry.py
+        # fit_capsule `shrink`), which leaves silhouettes short at link
+        # ends; the held-out tuning pass recovers it per capsule
+        self.ext = jnp.asarray(
+            TUNED_EXT.get(key, np.zeros(len(radii))), jnp.float32
+        )
         self._attach = np.asarray(data["caps_attach"], np.int32)
         self._ca = jnp.asarray(data["caps_a"], jnp.float32)
         self._cb = jnp.asarray(data["caps_b"], jnp.float32)
@@ -301,7 +312,18 @@ class ChainMaskEnv:
     SUBDIV = 3
 
     def _render_impl(self, qpos):
+        return self.render_with(qpos, self.radii, self.ext)
+
+    def render_with(self, qpos, radii, ext):
+        """Parametric silhouette render: `radii` (C,) capsule radii and
+        `ext` (C,) axial endpoint extensions are traced arguments, so the
+        fidelity tuner (benchmarks/mask_fidelity.py) evaluates thousands
+        of parameter candidates under ONE compilation."""
         a, b = self._capsule_endpoints(qpos)          # (..., C, 3)
+        axis = b - a
+        u = axis / (jnp.linalg.norm(axis, axis=-1, keepdims=True) + 1e-9)
+        a = a - ext[:, None] * u
+        b = b + ext[:, None] * u
         S = self.SUBDIV
         ts = jnp.linspace(0.0, 1.0, S + 1)
         # (..., C, S+1, 3) polyline points along each capsule axis
@@ -320,7 +342,7 @@ class ChainMaskEnv:
         b_v = b_v.reshape(batch + (C * S,))
         a_z = a_z.reshape(batch + (C * S,))
         b_z = b_z.reshape(batch + (C * S,))
-        radii = jnp.repeat(self.radii, S)
+        radii = jnp.repeat(radii, S)
         # screen-space radius from per-point depth
         r_a = self._fx * radii / a_z
         r_b = self._fx * radii / b_z

@@ -129,6 +129,87 @@ def test_concurrent_clients(served, rng):
         c2.close()
 
 
+def test_batched_matches_single(served, rng):
+    """get_action_batched(R requests) is bit-identical to R independent
+    get_action calls when both programs trace the same cells
+    (planning/cem.py:get_action_batched; the property PlanServer's
+    micro-batching relies on for served-plan consistency)."""
+    _, params, bn = served
+    policy = CEMPolicy(CFG, params, bn)
+    reqs = [_start_goal(rng) for _ in range(3)]
+    eps, steps = [0, 4, 9], [0, 2, 5]
+    batched = policy.get_action_batched(
+        [r[0] for r in reqs], [r[1] for r in reqs],
+        ep_nums=eps, steps=steps)
+    assert batched.shape == (3, CFG.horizon - 1, 2)
+    for i, (s, g) in enumerate(reqs):
+        single = policy.get_action(s, g, ep_num=eps[i], step=steps[i])
+        np.testing.assert_array_equal(batched[i],
+                                      np.asarray(single, np.float32))
+
+
+def test_server_forces_consistent_cells():
+    """A micro-batching server must trace the SAME cells on the single and
+    batched paths, or a request's plan would depend on what else happened
+    to be queued: with --fused_lstm it plans with the XLA cells on both
+    (control/plan_server.py:76-88, advertised via info()); batch_plans=
+    False keeps the fused Pallas cell for single-client serving."""
+    import jax
+
+    cfg = CFG.replace(fused_lstm=True)
+    params, bn = get_model(cfg).init(jax.random.PRNGKey(0), cfg)
+
+    batching = PlanServer(cfg, params, bn)
+    try:
+        assert batching._batch_plans
+        assert batching.consistent_cells
+        assert not batching.policy.cfg.fused_lstm
+        client = PlanClient(*batching.address)
+        thread = batching.start()
+        info = client.info()
+        assert info["fused_lstm"] is False
+        assert info["batch_plans"] is True
+        client.close(shutdown_server=True)
+        thread.join(timeout=5)
+    finally:
+        batching.close()
+
+    single = PlanServer(cfg, params, bn, batch_plans=False)
+    try:
+        assert not single._batch_plans
+        assert not single.consistent_cells
+        assert single.policy.cfg.fused_lstm
+    finally:
+        single.close()
+
+
+def test_batched_service_matches_local(served, rng):
+    """Concurrent DISTINCT requests — whether they drain as one micro-batch
+    or plan singly — each come back bit-identical to the in-process plan
+    for that request (served-plan consistency, all modes)."""
+    import concurrent.futures as cf
+
+    server, params, bn = served
+    reqs = [_start_goal(rng) for _ in range(4)]
+    clients = [PlanClient(*server.address) for _ in range(4)]
+    try:
+        with cf.ThreadPoolExecutor(4) as pool:
+            futs = [pool.submit(clients[i].plan, reqs[i][0], reqs[i][1],
+                                i, 2 * i) for i in range(4)]
+            plans = [f.result(timeout=300) for f in futs]
+        # the server plans with the XLA cells in batching mode; compare
+        # against a local policy tracing the same cells
+        local = CEMPolicy(server.policy.cfg, params, bn)
+        for i in range(4):
+            expect = local.get_action(reqs[i][0], reqs[i][1],
+                                      ep_num=i, step=2 * i)
+            np.testing.assert_array_equal(
+                plans[i], np.asarray(expect, np.float32))
+    finally:
+        for c in clients:
+            c.close()
+
+
 def test_demo_seeded_plan_roundtrip(rng):
     """opt_traj (demo-seeded CEM mean, planning/cem.py:75-85) crosses the
     wire and changes the plan under --demo_cost."""
