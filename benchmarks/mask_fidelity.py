@@ -247,9 +247,13 @@ def chain_qpos_samples(robot: str, n: int, frac: float = 0.6,
     joint range — a stand-in for dataset qpos distributions. When an
     oracle is given, rejection-sample configurations the calibrated
     camera actually sees (>= min_px robot pixels, default ~2.8% of the
-    frame): dataset trajectories keep the arm over the table by
-    construction, so a pose showing only a sliver at the frame edge is
-    out-of-workspace, not a mask-fidelity case.
+    frame) AND that are actual silhouettes (<= 50% of the frame):
+    dataset trajectories keep the arm over the table by construction,
+    so a pose showing only a sliver at the frame edge is
+    out-of-workspace, and a pose where the arm swallows the camera
+    (fetch's gripper-only oracle reaches 100%-of-frame masks at some
+    joint draws) is not a silhouette at all — both rejections are
+    workspace filters, applied identically to tune and eval sets.
 
     `seed` separates the TUNE pose set (seed 0) from the held-out EVAL
     set (seed 1): tuned numbers are only ever reported on poses the
@@ -272,11 +276,12 @@ def chain_qpos_samples(robot: str, n: int, frac: float = 0.6,
         return draw(n)
     if min_px is None:
         min_px = (oracle.h * oracle.w) // 36
+    max_px = (oracle.h * oracle.w) // 2
     out, tries = [], 0
     while len(out) < n and tries < 40 * n:
         q = draw(1)[0]
         tries += 1
-        if oracle.mask(q).sum() >= min_px:
+        if min_px <= oracle.mask(q).sum() <= max_px:
             out.append(q)
     return np.asarray(out, np.float32)
 

@@ -84,6 +84,27 @@ class VisualMPCController:
         self.start_eef: Optional[np.ndarray] = None
 
     # --- setup phase (reference :226-314) -------------------------------
+    def calibrate_extrinsics(self, camera_key: str, tag_T_base, K,
+                             tag_size: float = 0.0353,
+                             offset=(0.0, -0.015, 0.0125),
+                             detector=None, codebook=None):
+        """AprilTag camera calibration (reference get_cam_calibration /
+        set_camera_calibration, visual_MPC_controller.py:152-219): grab
+        a frame, detect the arm-mounted tag, compose camera-to-base from
+        the FK tag pose, and register the extrinsics under `camera_key`
+        so every subsequent mask render uses them. Defaults carry the
+        reference rig's tag size (:135) and measured position offset
+        (:204). Returns the 4x4 camera-to-base or None (no tag)."""
+        from robot_aware_control_tpu.control.apriltag import (
+            calibrate_camera_from_tag,
+        )
+
+        img = self.robot.get_image()
+        return calibrate_camera_from_tag(
+            camera_key, img, tag_T_base, K, tag_size,
+            offset=offset, codebook=codebook, detector=detector,
+        )
+
     def collect_goal_img(self):
         """Capture the current camera frame as the goal."""
         img = self.robot.get_image()
