@@ -268,6 +268,35 @@ def extract(robot):
             caps.append((attach, a, bb, r))
             names.append(name)
 
+    # occluder capsules: every geom the mask filter EXCLUDES still hides
+    # mask geoms behind it in the reference's segmentation render (the
+    # z-buffer assigns those pixels to the occluding geom, so they drop
+    # out of the isin(ok_ids) mask — base_mask_env.py:31-37). This is
+    # what makes fetch's gripper-only mask (fetch_mask_env.py:120-131)
+    # vanish when the arm/torso sits between gripper and camera. Fit the
+    # same capsules for those geoms so the analytic renderer can depth-
+    # test them.
+    occ = []
+    occ_names = []
+    if geom_ok is not None:
+        T = mujoco.mjtGeom
+        for g in range(m.ngeom):
+            if m.geom_type[g] == T.mjGEOM_PLANE:
+                continue  # floors aren't part of the robot body
+            name = mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_GEOM, g)
+            if name is not None and geom_ok(name):
+                continue  # mask geom, not an occluder
+            b = m.geom_bodyid[g]
+            attach = -1
+            while b != 0:
+                if b in driven_of_body:
+                    attach = driven_of_body[b]
+                    break
+                b = m.body_parentid[b]
+            for a, bb, r in geom_capsules(m, d, g):
+                occ.append((attach, a, bb, r))
+                occ_names.append(name or f"geom{g}")
+
     # eef tip: the furthest capsule endpoint on the last driven link
     last = max(c[0] for c in caps)
     best, eef = -1.0, anchors[-1]
@@ -289,6 +318,11 @@ def extract(robot):
         "caps_b": np.array([c[2] for c in caps]),
         "caps_r": np.array([c[3] for c in caps]),
         "geom_names": names,
+        "occ_attach": np.array([c[0] for c in occ], np.int32),
+        "occ_a": np.array([c[1] for c in occ]).reshape(-1, 3),
+        "occ_b": np.array([c[2] for c in occ]).reshape(-1, 3),
+        "occ_r": np.array([c[3] for c in occ]),
+        "occ_names": occ_names,
         "native_size": native,
         "fovy": fovy,
     }
@@ -325,18 +359,21 @@ def main():
             f"{robot}: {len(data['axes'])} joints, "
             f"{len(data['caps_r'])} capsules "
             f"({int((data['caps_attach'] < 0).sum())} static), "
+            f"{len(data['occ_r'])} occluders, "
             f"eef={np.round(data['eef'], 3).tolist()}"
         )
         entries = [f'    "{robot}": {{']
         for key in ("anchors", "axes", "jnt_range", "eef", "caps_attach",
-                    "caps_a", "caps_b", "caps_r"):
+                    "caps_a", "caps_b", "caps_r", "occ_attach", "occ_a",
+                    "occ_b", "occ_r"):
             entries.append(f'        "{key}": np.array(')
             entries.append(f"        {fmt_arr(data[key])}")
-            if key == "caps_attach":
+            if key in ("caps_attach", "occ_attach"):
                 entries.append("        , dtype=np.int32),")
             else:
                 entries.append("        ),")
         entries.append(f'        "geom_names": {data["geom_names"]!r},')
+        entries.append(f'        "occ_names": {data["occ_names"]!r},')
         entries.append(f'        "native_size": {data["native_size"]!r},')
         entries.append(f'        "fovy": {data["fovy"]!r},')
         entries.append("    },")

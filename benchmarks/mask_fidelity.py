@@ -295,7 +295,7 @@ def _iou_stats(ious):
     }
 
 
-def run_chain_robot(robot: str, args, results, tuned, tuned_ext):
+def run_chain_robot(robot: str, args, results, tuned, tuned_ext, tuned_occ):
     import jax
     import jax.numpy as jnp
 
@@ -332,14 +332,14 @@ def run_chain_robot(robot: str, args, results, tuned, tuned_ext):
     render = jax.jit(env.render_with)
     qt, qe = jnp.asarray(qpos_t), jnp.asarray(qpos_e)
 
-    def masks_of(q, radii, ext):
+    def masks_of(q, radii, ext, occ=None):
         return np.asarray(
             render(q, jnp.asarray(radii, jnp.float32),
-                   jnp.asarray(ext, jnp.float32))
+                   jnp.asarray(ext, jnp.float32), occ)
         )[..., 0] > 0.5
 
-    def ious_of(q, mj, radii, ext):
-        return [iou(a, b) for a, b in zip(mj, masks_of(q, radii, ext))]
+    def ious_of(q, mj, radii, ext, occ=None):
+        return [iou(a, b) for a, b in zip(mj, masks_of(q, radii, ext, occ))]
 
     # shipped parameters = what the planner actually renders with
     ship_r = np.asarray(env.radii, np.float32)
@@ -360,8 +360,7 @@ def run_chain_robot(robot: str, args, results, tuned, tuned_ext):
     if args.tune:
         # tuning starts from the MEASURED geometry (not prior tuned
         # values), scores ONLY on the tune set, and reports held-out
-        radii = np.asarray(kc.CHAIN_DATA[robot]["caps_r"], np.float32).copy()
-        ext = np.zeros(len(radii), np.float32)
+        radii0 = np.asarray(kc.CHAIN_DATA[robot]["caps_r"], np.float32)
         # capsules can shorten at most 45% of their axis per end
         cap_len = np.linalg.norm(
             kc.CHAIN_DATA[robot]["caps_b"] - kc.CHAIN_DATA[robot]["caps_a"],
@@ -372,52 +371,100 @@ def run_chain_robot(robot: str, args, results, tuned, tuned_ext):
         mjm_t = jnp.asarray(mj_t)
 
         @jax.jit
-        def score_fn(r, e):
-            m = env.render_with(qt, r, e)[..., 0] > 0.5
+        def score_fn(r, e, occ):
+            m = env.render_with(qt, r, e, occ)[..., 0] > 0.5
             inter = jnp.logical_and(m, mjm_t).sum((1, 2))
             union = jnp.logical_or(m, mjm_t).sum((1, 2))
             return jnp.mean(inter / jnp.maximum(union, 1))
 
-        def score(r, e):
-            return float(score_fn(jnp.asarray(r, jnp.float32),
-                                  jnp.asarray(e, jnp.float32)))
+        def descend(occ):
+            """Coordinate descent over radii + extensions at a fixed
+            occluder depth map; returns (score, radii, ext)."""
+            radii = radii0.copy()
+            ext = np.zeros(len(radii), np.float32)
 
-        best = score(radii, ext)
-        for s in (0.8, 0.9, 1.1, 1.2, 1.35):
-            v = score(radii * s, ext)
-            if v > best:
-                best, radii = v, radii * s
-        for _ in range(args.tune_rounds):
-            improved = False
-            for i in range(len(radii)):
-                for d in (-0.02, -0.01, -0.005, 0.005, 0.01, 0.02):
-                    r2 = radii.copy()
-                    r2[i] = max(0.004, r2[i] + d)
-                    v = score(r2, ext)
-                    if v > best + 1e-5:
-                        best, radii, improved = v, r2, True
-                for d in (-0.03, -0.015, -0.0075, 0.0075, 0.015, 0.03):
-                    e2 = ext.copy()
-                    e2[i] = max(float(ext_lo[i]), e2[i] + d)
-                    v = score(radii, e2)
-                    if v > best + 1e-5:
-                        best, ext, improved = v, e2, True
-            if not improved:
-                break
+            def score(r, e):
+                return float(score_fn(jnp.asarray(r, jnp.float32),
+                                      jnp.asarray(e, jnp.float32), occ))
+
+            best = score(radii, ext)
+            for s in (0.8, 0.9, 1.1, 1.2, 1.35):
+                v = score(radii * s, ext)
+                if v > best:
+                    best, radii = v, radii * s
+            for _ in range(args.tune_rounds):
+                improved = False
+                for i in range(len(radii)):
+                    for d in (-0.02, -0.01, -0.005, 0.005, 0.01, 0.02):
+                        r2 = radii.copy()
+                        r2[i] = max(0.004, r2[i] + d)
+                        v = score(r2, ext)
+                        if v > best + 1e-5:
+                            best, radii, improved = v, r2, True
+                    for d in (-0.03, -0.015, -0.0075, 0.0075, 0.015, 0.03):
+                        e2 = ext.copy()
+                        e2[i] = max(float(ext_lo[i]), e2[i] + d)
+                        v = score(radii, e2)
+                        if v > best + 1e-5:
+                            best, ext, improved = v, e2, True
+                if not improved:
+                    break
+            return best, radii, ext
+
+        # occluder radius scale: the mesh fitter's 85th-pct radii
+        # over-cover thin protrusions, so one global scale per robot is
+        # tuned jointly (full joint search when the mask-capsule count
+        # keeps the descent cheap, else a coarse pre-pass at measured
+        # radii). scale 0 disables occlusion — kept in the candidate set
+        # so occlusion must EARN its place on the tune set.
+        scales = [0.0]
+        if env.has_occluders:
+            scales = [0.0, 0.55, 0.7, 0.85, 1.0]
+        occ_of = {}
+
+        def occ_depth(s):
+            # scale is ABSOLUTE on the measured occluder radii; 0 yields
+            # an all-far map (occlusion off) so every candidate renders
+            # through the same code path
+            if s not in occ_of:
+                occ_of[s] = jnp.asarray(env.occluder_depth(qt, scale=s))
+            return occ_of[s]
+
+        if len(radii0) <= 8 or not env.has_occluders:
+            trials = [(s,) + descend(occ_depth(s)) for s in scales]
+        else:
+            e0 = np.zeros(len(radii0), np.float32)
+            coarse = [
+                (s, float(score_fn(jnp.asarray(radii0),
+                                   jnp.asarray(e0), occ_depth(s))))
+                for s in scales
+            ]
+            s_best = max(coarse, key=lambda t: t[1])[0]
+            trials = [(s_best,) + descend(occ_depth(s_best))]
+        occ_scale, best, radii, ext = max(trials, key=lambda t: t[1])
+
+        occ_e = (
+            jnp.asarray(env.occluder_depth(qe, scale=occ_scale))
+            if env.has_occluders else None
+        )
         entry["tuned_iou_tune_set"] = best  # in-sample, for the record
-        entry["tuned_heldout"] = _iou_stats(ious_of(qe, mj_e, radii, ext))
+        entry["tuned_heldout"] = _iou_stats(
+            ious_of(qe, mj_e, radii, ext, occ_e)
+        )
+        entry["occ_scale"] = occ_scale
         tuned[robot] = [round(float(x), 4) for x in radii]
         tuned_ext[robot] = [round(float(x), 4) for x in ext]
+        tuned_occ[robot] = occ_scale
     results[robot] = entry
     print(robot, json.dumps(entry))
 
 
-def write_tuned(tuned, tuned_ext, path):
+def write_tuned(tuned, tuned_ext, tuned_occ, path):
     lines = [
-        '"""Capsule radii + axial extensions tuned against MuJoCo',
-        "segmentation renders on the seed-0 pose set; held-out fidelity",
-        "measured on the disjoint seed-1 set (GENERATED —",
-        'benchmarks/mask_fidelity.py --tune)."""',
+        '"""Capsule radii + axial extensions + occluder radius scales',
+        "tuned against MuJoCo segmentation renders on the seed-0 pose",
+        "set; held-out fidelity measured on the disjoint seed-1 set",
+        '(GENERATED — benchmarks/mask_fidelity.py --tune)."""',
         "",
         "TUNED_RADII = {",
     ]
@@ -427,6 +474,14 @@ def write_tuned(tuned, tuned_ext, path):
     lines.append("")
     lines.append("TUNED_EXT = {")
     for k, v in sorted(tuned_ext.items()):
+        lines.append(f"    {k!r}: {v},")
+    lines.append("}")
+    lines.append("")
+    lines.append("# global occluder radius scale (0 = occlusion off for")
+    lines.append("# that robot: it did not beat the unoccluded render on")
+    lines.append("# the tune set)")
+    lines.append("TUNED_OCC_SCALE = {")
+    for k, v in sorted(tuned_occ.items()):
         lines.append(f"    {k!r}: {v},")
     lines.append("}")
     with open(path, "w") as f:
@@ -466,12 +521,13 @@ def main():
         if args.robots == "all"
         else tuple(args.robots.split(","))
     )
-    results, tuned, tuned_ext = {}, {}, {}
+    results, tuned, tuned_ext, tuned_occ = {}, {}, {}, {}
     for robot in robots:
         if robot == "locobot":
             run_locobot(args, results)
         else:
-            run_chain_robot(robot, args, results, tuned, tuned_ext)
+            run_chain_robot(robot, args, results, tuned, tuned_ext,
+                            tuned_occ)
 
     if args.tune and tuned:
         from robot_aware_control_tpu.robot import kinematic_chain as kc
@@ -480,9 +536,12 @@ def main():
         merged.update(tuned)
         merged_ext = dict(kc.TUNED_EXT)
         merged_ext.update(tuned_ext)
+        merged_occ = dict(kc.TUNED_OCC_SCALE)
+        merged_occ.update(tuned_occ)
         write_tuned(
             merged,
             merged_ext,
+            merged_occ,
             os.path.join(
                 os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                 "robot_aware_control_tpu/robot/_chain_tuned.py",

@@ -41,6 +41,10 @@ try:  # per-capsule axial extensions from the same held-out tuning pass
     from robot_aware_control_tpu.robot._chain_tuned import TUNED_EXT
 except ImportError:  # pragma: no cover - tuning not yet run
     TUNED_EXT = {}
+try:  # global occluder radius scale from the same tuning pass
+    from robot_aware_control_tpu.robot._chain_tuned import TUNED_OCC_SCALE
+except ImportError:  # pragma: no cover - tuning not yet run
+    TUNED_OCC_SCALE = {}
 
 
 def _rot(axis, th):
@@ -237,7 +241,7 @@ class ChainMaskEnv:
 
     def __init__(self, robot: str, image_size: Tuple[int, int] = (48, 64),
                  camera_key: Optional[str] = None, thick: bool = False,
-                 arm: str = "left"):
+                 arm: str = "left", occlude: bool = True):
         key = robot
         if robot == "baxter" and arm == "right":
             key = "baxter_right"
@@ -272,6 +276,31 @@ class ChainMaskEnv:
         self._attach = np.asarray(data["caps_attach"], np.int32)
         self._ca = jnp.asarray(data["caps_a"], jnp.float32)
         self._cb = jnp.asarray(data["caps_b"], jnp.float32)
+        # occluder capsules: geoms the reference's mask filter EXCLUDES
+        # but whose z-buffer presence still hides mask geoms behind them
+        # in the segmentation render (fetch's torso/head/arm vs its
+        # gripper-only mask, fetch_mask_env.py:120-131). Rendered with a
+        # depth test. The geometry is measured; one global radius scale
+        # per robot is fitted by the fidelity tuner (the mesh fitter's
+        # 85th-pct radius over-covers thin protrusions). Occlusion is
+        # OPT-IN per robot: scale comes from TUNED_OCC_SCALE, default 0
+        # (off) — a robot renders occluded only after the tuner showed
+        # occlusion beats the plain render on its tune set.
+        occ_r = np.asarray(data.get("occ_r", np.zeros(0)), np.float32)
+        live = occ_r > 0  # the mesh fitter yields r=0 for flat geoms
+        self.has_occluders = bool(live.any())
+        self._occ_scale = (
+            float(TUNED_OCC_SCALE.get(key, 0.0)) if occlude else 0.0
+        )
+        self.occlude = self.has_occluders and self._occ_scale > 0.0
+        if self.has_occluders:
+            self._occ_attach = np.asarray(
+                data["occ_attach"], np.int32)[live]
+            self._occ_a = jnp.asarray(
+                np.asarray(data["occ_a"], np.float32)[live])
+            self._occ_b = jnp.asarray(
+                np.asarray(data["occ_b"], np.float32)[live])
+            self._occ_r = jnp.asarray(occ_r[live])  # unscaled
         ys = jnp.arange(self.h, dtype=jnp.float32) + 0.5
         xs = jnp.arange(self.w, dtype=jnp.float32) + 0.5
         self._py, self._px = jnp.meshgrid(ys, xs, indexing="ij")
@@ -286,23 +315,26 @@ class ChainMaskEnv:
         v = self._fy * cam[..., 1] / z + self._cy
         return u, v, z
 
-    def _capsule_endpoints(self, qpos):
+    def _capsule_endpoints(self, qpos, attach=None, ca=None, cb=None):
         """World-space capsule endpoints for a batch of configurations:
         capsules attached to driven joint k transform rigidly with frame k
         (static capsules, attach=-1, stay at their zero-pose world pose)."""
+        attach = self._attach if attach is None else attach
+        ca = self._ca if ca is None else ca
+        cb = self._cb if cb is None else cb
         pos, R = self.chain.fk_frames(qpos)  # (..., J, 3), (..., J, 3, 3)
         batch = qpos.shape[:-1]
         anchors0 = jnp.asarray(self.chain.anchors, jnp.float32)
-        att = jnp.asarray(np.maximum(self._attach, 0), jnp.int32)
-        is_static = jnp.asarray(self._attach < 0)
+        att = jnp.asarray(np.maximum(attach, 0), jnp.int32)
+        is_static = jnp.asarray(attach < 0)
         p_att = pos[..., att, :]                      # (..., C, 3)
         R_att = R[..., att, :, :]                     # (..., C, 3, 3)
         anch = anchors0[att]                          # (C, 3)
-        a = p_att + jnp.einsum("...cij,cj->...ci", R_att, self._ca - anch)
-        b = p_att + jnp.einsum("...cij,cj->...ci", R_att, self._cb - anch)
+        a = p_att + jnp.einsum("...cij,cj->...ci", R_att, ca - anch)
+        b = p_att + jnp.einsum("...cij,cj->...ci", R_att, cb - anch)
         stat = is_static[:, None]
-        a = jnp.where(stat, jnp.broadcast_to(self._ca, batch + self._ca.shape), a)
-        b = jnp.where(stat, jnp.broadcast_to(self._cb, batch + self._cb.shape), b)
+        a = jnp.where(stat, jnp.broadcast_to(ca, batch + ca.shape), a)
+        b = jnp.where(stat, jnp.broadcast_to(cb, batch + cb.shape), b)
         return a, b
 
     # capsule axes are subdivided in 3D before projection: a straight
@@ -314,12 +346,16 @@ class ChainMaskEnv:
     def _render_impl(self, qpos):
         return self.render_with(qpos, self.radii, self.ext)
 
-    def render_with(self, qpos, radii, ext):
-        """Parametric silhouette render: `radii` (C,) capsule radii and
-        `ext` (C,) axial endpoint extensions are traced arguments, so the
-        fidelity tuner (benchmarks/mask_fidelity.py) evaluates thousands
-        of parameter candidates under ONE compilation."""
-        a, b = self._capsule_endpoints(qpos)          # (..., C, 3)
+    def _seg_cover_depth(self, qpos, radii, ext, attach=None, ca=None,
+                         cb=None):
+        """Screen coverage + surface depth per capsule sub-segment.
+
+        Returns (cover (..., C*S, H, W) bool, depth (..., C*S, H, W) f32):
+        cover is the silhouette test of the original renderer; depth is
+        the camera-z of the capsule axis at the pixel's closest axis
+        point minus the 3-D radius — the front surface the reference's
+        z-buffer sees."""
+        a, b = self._capsule_endpoints(qpos, attach, ca, cb)  # (..., C, 3)
         axis = b - a
         u = axis / (jnp.linalg.norm(axis, axis=-1, keepdims=True) + 1e-9)
         a = a - ext[:, None] * u
@@ -356,7 +392,65 @@ class ChainMaskEnv:
         dist = jnp.sqrt((px - (au + t * dx)) ** 2 + (py - (av + t * dy)) ** 2)
         rad = r_a[..., None, None] * (1 - t) + r_b[..., None, None] * t
         behind = (a_z + b_z)[..., None, None] > 2e-4  # both clamped => skip
-        mask = jnp.any((dist <= rad) & behind, axis=-3)
+        cover = (dist <= rad) & behind
+        z_axis = a_z[..., None, None] * (1 - t) + b_z[..., None, None] * t
+        depth = z_axis - radii[..., None, None]
+        return cover, depth
+
+    _INF_DEPTH = 1e9
+    # occluder/mask surfaces that abut (wrist link vs gripper base) can
+    # flip order by millimetres under the capsule approximation; favor
+    # keeping mask pixels within this depth tolerance (m)
+    OCC_EPS = 0.0
+
+    def occluder_depth(self, qpos, scale: Optional[float] = None):
+        """(..., H, W) nearest occluder surface depth (inf where none).
+        Computed in capsule chunks to bound the peak (..., C*S, H, W)
+        intermediate at large native render sizes (fetch: 27 occluders
+        at 240x320). `scale` is an ABSOLUTE multiplier on the measured
+        occluder radii (the fidelity tuner sweeps it); None means the
+        shipped TUNED_OCC_SCALE, and scale<=0 or no occluder geometry
+        yields an all-far map (occlusion off)."""
+        s_abs = self._occ_scale if scale is None else float(scale)
+        if not self.has_occluders or s_abs <= 0.0:
+            shape = qpos.shape[:-1] + (self.h, self.w)
+            return jnp.full(shape, self._INF_DEPTH, jnp.float32)
+        n = len(self._occ_attach)
+        out = None
+        chunk = 8
+        for s in range(0, n, chunk):
+            e = min(n, s + chunk)
+            cover, depth = self._seg_cover_depth(
+                qpos, self._occ_r[s:e] * s_abs,
+                jnp.zeros(e - s, jnp.float32),
+                self._occ_attach[s:e], self._occ_a[s:e], self._occ_b[s:e],
+            )
+            d = jnp.min(
+                jnp.where(cover, depth, self._INF_DEPTH), axis=-3
+            )
+            out = d if out is None else jnp.minimum(out, d)
+        return out
+
+    def render_with(self, qpos, radii, ext, occ_depth=None):
+        """Parametric silhouette render: `radii` (C,) capsule radii and
+        `ext` (C,) axial endpoint extensions are traced arguments, so the
+        fidelity tuner (benchmarks/mask_fidelity.py) evaluates thousands
+        of parameter candidates under ONE compilation (pass the
+        pose-only `occ_depth=self.occluder_depth(qpos)` once for that).
+        When the robot's tuned occluder scale is >0 (see __init__), a
+        mask pixel survives only if its nearest mask-capsule surface is
+        in front of every occluder surface there — the z-buffer
+        semantics of the reference's segmentation render. An explicit
+        `occ_depth` always wins over the shipped setting (the tuner
+        passes maps at candidate scales, including all-far = off)."""
+        cover, depth = self._seg_cover_depth(qpos, radii, ext)
+        if occ_depth is None and self.occlude:
+            occ_depth = self.occluder_depth(qpos)
+        if occ_depth is not None:
+            vis = cover & (depth <= occ_depth[..., None, :, :] + self.OCC_EPS)
+        else:
+            vis = cover
+        mask = jnp.any(vis, axis=-3)
         return mask[..., None].astype(jnp.float32)
 
     def generate_masks(self, qpos) -> np.ndarray:

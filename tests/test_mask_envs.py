@@ -152,6 +152,85 @@ def test_static_capsules_do_not_move():
     assert np.abs(np.asarray(a)[0][moving] - np.asarray(a)[1][moving]).max() > 1e-3
 
 
+def test_occluder_data_consistency():
+    """Occluder capsules (geoms the reference's mask filter excludes but
+    whose z-buffer presence hides mask geoms, base_mask_env.py:31-37)
+    are measured geometry with the same attach invariants as the mask
+    capsules."""
+    from robot_aware_control_tpu.robot.kinematic_chain import CHAIN_DATA
+
+    for robot, d in CHAIN_DATA.items():
+        n = len(d.get("occ_r", []))
+        if n == 0:
+            continue
+        J = len(d["axes"])
+        assert d["occ_attach"].shape == (n,)
+        assert d["occ_a"].shape == (n, 3)
+        assert d["occ_b"].shape == (n, 3)
+        assert d["occ_attach"].min() >= -1 and d["occ_attach"].max() < J
+        # the mesh fitter yields r=0 for flat geoms; the env filters them
+        assert np.all(d["occ_r"] >= 0)
+        env = ChainMaskEnv(
+            "baxter" if robot == "baxter_right" else robot,
+            arm="right" if robot == "baxter_right" else "left",
+        )
+        if env.has_occluders:
+            assert float(np.asarray(env._occ_r).min()) > 0
+
+
+def test_occlusion_depth_test_semantics():
+    """fetch ships with a tuned occluder scale: the occluded mask is a
+    subset of the unoccluded one, an all-far depth map disables
+    occlusion exactly, and an everywhere-near map kills every pixel —
+    the z-buffer semantics of the reference's segmentation render
+    (fetch_mask_env.py:120-131)."""
+    import jax.numpy as jnp
+
+    from robot_aware_control_tpu.robot.kinematic_chain import (
+        TUNED_OCC_SCALE,
+    )
+
+    assert TUNED_OCC_SCALE.get("fetch", 0.0) > 0.0
+    env = ChainMaskEnv("fetch")
+    assert env.occlude and env.has_occluders
+    # fetch's mask is gripper-only and most joint draws hide it from the
+    # calibrated camera; this seeded batch contains poses with a visible
+    # gripper AND at least one where the arm partially occludes it
+    q = jnp.asarray(_mid_range_qpos(env.chain, 64, scale=0.6, seed=0))
+    far = jnp.full((64, env.h, env.w), env._INF_DEPTH, jnp.float32)
+    m_occ = np.asarray(env.render_with(q, env.radii, env.ext))[..., 0]
+    m_off = np.asarray(env.render_with(q, env.radii, env.ext, far))[..., 0]
+    assert m_off.sum() > 0
+    assert np.all(m_off[m_occ > 0.5] > 0.5)  # occluded subset of plain
+    assert m_occ.sum() < m_off.sum()  # the arm does occlude the gripper
+    # scale<=0 -> all-far map -> identical to occlusion off
+    d0 = env.occluder_depth(q, scale=0.0)
+    m0 = np.asarray(env.render_with(q, env.radii, env.ext, d0))[..., 0]
+    np.testing.assert_array_equal(m0, m_off)
+    # shipped scale is what occluder_depth(None) uses
+    d_ship = env.occluder_depth(q)
+    d_abs = env.occluder_depth(q, scale=TUNED_OCC_SCALE["fetch"])
+    np.testing.assert_allclose(np.asarray(d_ship), np.asarray(d_abs))
+    # everything-in-front occluder removes the whole silhouette (mask
+    # surface depth z-r can be ~0 for near-camera capsules, so the map
+    # must be strictly below any reachable surface depth)
+    near = jnp.full((64, env.h, env.w), -env._INF_DEPTH, jnp.float32)
+    m_all = np.asarray(env.render_with(q, env.radii, env.ext, near))[..., 0]
+    assert m_all.sum() == 0
+
+
+def test_untuned_robots_render_unoccluded():
+    """Occlusion is opt-in per robot: arms without a tuned occluder
+    scale render exactly as before the occluder geometry existed."""
+    env_def = ChainMaskEnv("sawyer")
+    env_off = ChainMaskEnv("sawyer", occlude=False)
+    assert env_def.has_occluders and not env_def.occlude
+    q = _mid_range_qpos(env_def.chain, 3)
+    np.testing.assert_array_equal(
+        env_def.generate_masks(q), env_off.generate_masks(q)
+    )
+
+
 def test_thick_masks_superset():
     thin = ChainMaskEnv("franka", thick=False)
     thick = ChainMaskEnv("franka", thick=True)
