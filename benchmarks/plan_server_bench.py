@@ -89,7 +89,9 @@ def main():
         """Send plans back-to-back: a fixed count (burst mode) or until
         the wall-clock deadline (sustained mode). Records the co-planned
         batch size and per-request wall latency of every plan."""
-        c = PlanClient(*server.address)
+        # generous socket timeout: on TPU a cold first plan pays the CEM
+        # compile (+ tunnel init), far beyond the 120 s production default
+        c = PlanClient(*server.address, timeout=900.0)
         batched, lats = [], []
         try:
             i = 0
@@ -105,6 +107,12 @@ def main():
         out[idx] = batched
         if lat is not None:
             lat[idx] = lats
+
+    # embedded server (unlike the rac-plan-server CLI) serves before the
+    # jit compile is paid — warm the single-plan program in-process first
+    t0 = time.perf_counter()
+    server.policy.get_action(start, goal)
+    print(f"warm: single-plan compile {time.perf_counter() - t0:.1f}s")
 
     results = {}
     for R in args.clients:

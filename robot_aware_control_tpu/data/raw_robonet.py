@@ -619,3 +619,39 @@ def convert_raw_robonet(
             f.create_dataset("qpos", data=qpos, compression="gzip")
         written.append(out_path)
     return written
+
+
+def main(argv: Optional[Sequence[str]] = None):
+    """CLI for the raw→preprocessed converter (the reference's
+    collect_mask_data.py script role, but batched-jitted mask renders):
+
+        python -m robot_aware_control_tpu.data.raw_robonet \\
+            --robonet_dir /path/to/robonet/hdf5 --out data/robonet_pre \\
+            --viewpoint sawyer_sudri0_c0 [--cam_index 0] [--thick]
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--robonet_dir", required=True,
+                    help="directory of public-RoboNet hdf5 trajectories")
+    ap.add_argument("--out", required=True,
+                    help="target directory for the preprocessed layout")
+    ap.add_argument("--viewpoint", required=True,
+                    help="calibration key, e.g. sawyer_sudri0_c0 — picks "
+                         "the robot chain + camera extrinsics")
+    ap.add_argument("--cam_index", type=int, default=0)
+    ap.add_argument("--image_size", type=int, nargs=2, default=(64, 85),
+                    metavar=("H", "W"))
+    ap.add_argument("--thick", action="store_true",
+                    help="render dilated planner masks")
+    args = ap.parse_args(argv)
+    written = convert_raw_robonet(
+        args.robonet_dir, args.out, args.viewpoint,
+        cam_index=args.cam_index, image_size=tuple(args.image_size),
+        thick=args.thick,
+    )
+    print(f"wrote {len(written)} trajectories to {args.out}")
+
+
+if __name__ == "__main__":  # pragma: no cover - exercised via tests.main()
+    main()

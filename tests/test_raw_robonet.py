@@ -273,6 +273,22 @@ def test_dataset_reads_raw_layout_directly(tmp_path):
     assert item_raw["robot"] == "sawyer"
 
 
+def test_converter_cli(tmp_path, capsys):
+    """`python -m robot_aware_control_tpu.data.raw_robonet` converts a
+    directory of public-RoboNet files to the preprocessed layout."""
+    rng = np.random.RandomState(8)
+    raw_dir = tmp_path / "sawyer_sudri0_c0"
+    _write(str(raw_dir / "traj0.hdf5"), _episode(rng, adim=4), "jpg",
+           camera_configuration="sudri0")
+    out_dir = str(tmp_path / "pre")
+    rr.main(["--robonet_dir", str(raw_dir), "--out", out_dir,
+             "--viewpoint", "sawyer_sudri0_c0"])
+    assert "wrote 1 trajectories" in capsys.readouterr().out
+    with h5py.File(os.path.join(out_dir, "traj0_c0.hdf5"), "r") as hf:
+        assert hf["frames"].shape == (T, 64, 85, 3)
+        assert hf.attrs["robot"] == "sawyer"
+
+
 def test_dataset_raw_layout_unknown_robot_zero_masks(tmp_path):
     """Raw files from a robot with no measured chain still load (masks
     zeroed) rather than crash."""
