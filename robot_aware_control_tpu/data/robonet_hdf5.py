@@ -23,6 +23,7 @@ threads (data/loader.py), outputs NHWC float32 ready for device upload.
 from __future__ import annotations
 
 import os
+import re
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -119,13 +120,23 @@ class RoboNetHDF5Dataset:
         cfg = self._config
         md = rr.load_metadata_dict(path)
         native = (64, 85)
+        # camera stream selection must match the viewpoint the masks are
+        # rendered with: a file under a `<view>_c<k>` directory decodes
+        # camera k (the reference splits multi-cam files into per-camera
+        # view dirs, robonet_dataloaders.py:137-208). Single-camera
+        # fixture/lab files under a _c<k> dir clamp to their one stream.
+        cam = self._raw_camera
+        vp_cam = re.search(r"_c(\d+)$", robot_viewpoint)
+        if vp_cam is not None:
+            cam = int(vp_cam.group(1))
+        cam = min(cam, int(md.get("ncam", 1)) - 1)
         params = rr.LoaderParams(
             target_adim=cfg.action_dim,
             target_sdim=int(md["sdim"]),
             action_mismatch=rr.ACTION_MISMATCH.PAD_ZERO,
             impute_autograsp_action=cfg.impute_autograsp_action,
             img_size=native,
-            cams_to_load=[self._raw_camera],
+            cams_to_load=[cam],
             load_T=0,
             check_sha256=False,
         )
