@@ -96,7 +96,7 @@ def load_metadata_dict(fname: str) -> Dict:
     (metadata_helper.py:84-131), plus passthrough of `raw` frame encoding
     (our fixture writer can store frames unencoded for hermetic tests)."""
     if not os.path.isfile(fname):
-        raise IOError(f"can't find {fname}")
+        raise IOError(f"no such trajectory file: {fname}")
     with open(fname, "rb") as f:
         buf = f.read()
     with h5py.File(io.BytesIO(buf), "r") as hf:
@@ -135,11 +135,11 @@ def load_metadata_dict(fname: str) -> Dict:
 
         if "misc" in hf:
             for k in hf["misc"].keys():
-                assert k not in md, f"key {k} already present!"
+                assert k not in md, f"misc/{k} collides with a derived field"
                 md[k] = hf["misc"][k][()]
         if "metadata" in hf:
             for k in hf["metadata"].attrs.keys():
-                assert k not in md, f"key {k} already present!"
+                assert k not in md, f"metadata/{k} collides with a derived field"
                 v = hf["metadata"].attrs[k]
                 md[k] = v.decode() if isinstance(v, bytes) else v
         if "low_bound" not in md and "low_bound" in hf["env"]:
@@ -234,7 +234,13 @@ def load_metadata(files: Union[str, Sequence[str]], cache: bool = True
 
 
 # ---------------------------------------------------------------------------
-# per-trajectory decode (reference: hdf5_loader.py:40-187)
+# per-trajectory decode
+#
+# Behavioral spec (what, not how): the fields, the mismatch-flag semantics,
+# the autograsp rule, the resize-method rule and the snippet-window rule of
+# the release loader (reference: hdf5_loader.py:40-187) — locked by
+# tests/test_raw_robonet.py. Structure, decomposition and diagnostics here
+# are this repo's own; format-dictated overlap is declared in docs/PARITY.md.
 
 
 def _decode_mp4(byte_array: np.ndarray) -> List[np.ndarray]:
@@ -260,197 +266,235 @@ def _decode_mp4(byte_array: np.ndarray) -> List[np.ndarray]:
     return frames
 
 
+def _materialize_frames(cam_group: h5py.Group, encoding: str,
+                        start: int, count: int) -> List[np.ndarray]:
+    """Pull `count` decoded frames starting at `start` out of one camera
+    group, whatever its on-disk encoding. mp4 decodes the whole stream
+    (codecs seek poorly) and slices; jpg and raw read only the window."""
+    if encoding == "mp4":
+        return _decode_mp4(np.asarray(cam_group["frames"]))[start:start + count]
+    if encoding == "jpg":
+        if not _HAS_CV2:  # pragma: no cover
+            raise RuntimeError("jpg-encoded RoboNet files require OpenCV")
+        return [
+            cv2.imdecode(np.asarray(cam_group[f"frame{t}"]),
+                         cv2.IMREAD_COLOR)[:, :, ::-1]
+            for t in range(start, start + count)
+        ]
+    if encoding == "raw":
+        return list(np.asarray(cam_group["frames"][start:start + count]))
+    raise ValueError(
+        f"unknown frame encoding {encoding!r} (expected mp4, jpg or raw)"
+    )
+
+
+def _resize_frame(img: np.ndarray, src_hw: Tuple[int, int],
+                  dst_hw: Tuple[int, int]) -> np.ndarray:
+    """cv2 resize with INTER_AREA when shrinking, INTER_CUBIC when growing
+    — the release loader's quality rule (hdf5_loader.py:52-54), kept so
+    decoded pixels stay bit-identical to the reference pipeline's."""
+    if src_hw == dst_hw:
+        return img
+    dst_h, dst_w = dst_hw
+    if _HAS_CV2:
+        shrinking = dst_h * dst_w < src_hw[0] * src_hw[1]
+        interp = cv2.INTER_AREA if shrinking else cv2.INTER_CUBIC
+        return cv2.resize(img, (dst_w, dst_h), interpolation=interp)
+    # pragma: no cover — nearest fallback for cv2-less hosts
+    ys = np.linspace(0, src_hw[0] - 1, dst_h).astype(np.int64)
+    xs = np.linspace(0, src_hw[1] - 1, dst_w).astype(np.int64)
+    return np.asarray(img)[ys][:, xs]
+
+
 def load_camera_imgs(cam_index: int, hf: h5py.File, file_metadata,
                      target_dims: Tuple[int, int], start_time: int = 0,
                      n_load: Optional[int] = None) -> np.ndarray:
-    """Decode one camera's frames to uint8 (T, H, W, 3)
-    (reference: hdf5_loader.py:40-77). Supports `raw` passthrough frames in
-    addition to the reference's mp4/jpg."""
-    cam_group = hf["env"][f"cam{cam_index}_video"]
-    old_height, old_width = (int(x) for x in file_metadata["frame_dim"])
-    length = int(file_metadata["img_T"])
-    encoding = file_metadata["img_encoding"]
-    image_format = file_metadata["image_format"]
+    """Decode one camera's frames to uint8 (T, H, W, 3) at `target_dims`,
+    in RGB order regardless of the file's stored channel order. Handles
+    the release's mp4/jpg encodings plus this repo's `raw` passthrough
+    (behavioral spec: hdf5_loader.py:40-77)."""
+    src_hw = tuple(int(x) for x in file_metadata["frame_dim"])
     if n_load is None:
-        n_load = length
+        n_load = int(file_metadata["img_T"])
 
-    target_height, target_width = target_dims
-    # reference resize-method choice (hdf5_loader.py:52-54)
-    interp = None
-    if _HAS_CV2:
-        interp = cv2.INTER_CUBIC
-        if target_height * target_width < old_height * old_width:
-            interp = cv2.INTER_AREA
+    group = hf["env"][f"cam{cam_index}_video"]
+    frames = _materialize_frames(group, file_metadata["img_encoding"],
+                                 start_time, n_load)
+    images = np.stack(
+        [_resize_frame(f, src_hw, tuple(target_dims)) for f in frames]
+    ).astype(np.uint8, copy=False)
 
-    if encoding == "mp4":
-        buf = _decode_mp4(np.asarray(cam_group["frames"]))
-        img_buffer = buf[start_time : start_time + n_load]
-    elif encoding == "jpg":
-        if not _HAS_CV2:  # pragma: no cover
-            raise RuntimeError("jpg-encoded RoboNet files require OpenCV")
-        img_buffer = [
-            cv2.imdecode(np.asarray(cam_group[f"frame{t}"]), cv2.IMREAD_COLOR)[
-                :, :, ::-1
-            ]
-            for t in range(start_time, start_time + n_load)
-        ]
-    elif encoding == "raw":
-        img_buffer = list(np.asarray(
-            cam_group["frames"][start_time : start_time + n_load]
-        ))
-    else:
-        raise ValueError(f"encoding {encoding} not supported")
-
-    images = np.zeros((n_load, target_height, target_width, 3), dtype=np.uint8)
-    for t, img in enumerate(img_buffer):
-        if (old_height, old_width) == (target_height, target_width):
-            images[t] = img
-        elif _HAS_CV2:
-            images[t] = cv2.resize(img, (target_width, target_height),
-                                   interpolation=interp)
-        else:  # pragma: no cover — nearest fallback
-            ys = np.linspace(0, old_height - 1, target_height).astype(np.int64)
-            xs = np.linspace(0, old_width - 1, target_width).astype(np.int64)
-            images[t] = np.asarray(img)[ys][:, xs]
-    if image_format == "RGB":
+    stored_order = file_metadata["image_format"]
+    if stored_order == "RGB":
         return images
-    if image_format == "BGR":
+    if stored_order == "BGR":
         return images[:, :, :, ::-1]
-    raise NotImplementedError(image_format)
+    raise NotImplementedError(f"channel order {stored_order!r}")
+
+
+def _fit_feature_width(arr: np.ndarray, target: int, policy: int,
+                       label: str) -> np.ndarray:
+    """Reconcile a (T, D) tensor's width against the loader target.
+
+    The public release mixes robots with different state/action widths;
+    `policy` is a bitmask over the MISMATCH flags — PAD_ZERO appends zero
+    columns to narrow files, CLEAVE drops trailing columns from wide ones,
+    and 0 (ERROR) refuses both (flag semantics shared with the release
+    loader, hdf5_loader.py:80-133; declared in docs/PARITY.md)."""
+    width = arr.shape[1]
+    if width == target:
+        return arr
+    if width < target and policy & STATE_MISMATCH.PAD_ZERO:
+        fill = np.zeros((arr.shape[0], target - width), dtype=np.float32)
+        return np.concatenate((arr, fill), axis=-1)
+    if width > target and policy & STATE_MISMATCH.CLEAVE:
+        return arr[:, :target]
+    raise ValueError(
+        f"cannot reconcile {label} width {width} with target {target}: "
+        f"mismatch policy {policy} permits neither padding nor cleaving"
+    )
 
 
 def load_states(hf: h5py.File, md, params: LoaderParams) -> np.ndarray:
-    """(reference: hdf5_loader.py:80-95)"""
-    s_T, sdim = int(md["state_T"]), int(md["sdim"])
-    states = np.asarray(hf["env"]["state"])
-    if params.target_sdim == sdim:
-        return states
-    if sdim < params.target_sdim and params.state_mismatch & STATE_MISMATCH.PAD_ZERO:
-        pad = np.zeros((s_T, params.target_sdim - sdim), dtype=np.float32)
-        return np.concatenate((states, pad), axis=-1)
-    if sdim > params.target_sdim and params.state_mismatch & STATE_MISMATCH.CLEAVE:
-        return states[:, : params.target_sdim]
-    raise ValueError(
-        f"file sdim - {sdim}, target sdim - {params.target_sdim}, "
-        f"pad behavior - {params.state_mismatch}"
-    )
+    """eef states (T, sdim) fitted to `target_sdim` under the
+    state-mismatch policy (behavioral spec: hdf5_loader.py:80-95)."""
+    return _fit_feature_width(np.asarray(hf["env"]["state"]),
+                              params.target_sdim, params.state_mismatch,
+                              "state")
 
 
 def load_qpos(hf: h5py.File, md=None, params=None) -> np.ndarray:
-    """(reference: hdf5_loader.py:98-100)"""
+    """Joint positions, passed through unfitted (hdf5_loader.py:98-100)."""
     return np.asarray(hf["env"]["qpos"])
 
 
+def _autograsp_grip_commands(hf: h5py.File, md) -> np.ndarray:
+    """Reconstruct the (T-1, 1) gripper command column for `autograsp`
+    trajectories: the command at t is whichever workspace bound the NEXT
+    gripper state sits past the midpoint of. Bounds are the (5,)-vector
+    metadata rows indexed at the gripper dim — the shape-correct form of
+    the semantics the src dataset re-implements with scalar bounds and
+    crashes on (see tests/test_dataset_golden.py reference bug #1)."""
+    grip_next = np.asarray(hf["env"]["state"])[1:, -1]
+    hi = np.asarray(md["high_bound"])[-1]
+    lo = np.asarray(md["low_bound"])[-1]
+    return np.where(grip_next > (hi + lo) / 2.0, hi, lo)[:, None]
+
+
 def load_actions(hf: h5py.File, md, params: LoaderParams) -> np.ndarray:
-    """(reference: hdf5_loader.py:103-133). The autograsp branch appends a
-    5th action binarized from the NEXT gripper state around the bound
-    midpoint — bounds here are the (5,)-vector metadata rows, indexed [-1]
-    for the gripper dim (the shape-correct form of the semantics the src
-    dataset re-implements with scalar bounds and crashes on; see
-    tests/test_dataset_golden.py reference bug #1)."""
-    a_T, adim = int(md["action_T"]), int(md["adim"])
+    """Actions (T-1, adim) fitted to `target_adim`. A file exactly one
+    column short whose policy is `autograsp` gets the imputed gripper
+    command appended (behavioral spec: hdf5_loader.py:103-133); everything
+    else goes through the mismatch policy."""
     actions = np.asarray(hf["policy"]["actions"])
-    if params.target_adim == adim:
-        return actions
-    if (
-        params.target_adim == adim + 1
-        and params.impute_autograsp_action
+    impute = (
+        params.impute_autograsp_action
+        and params.target_adim == actions.shape[1] + 1
         and md["primitives"] == "autograsp"
-    ):
-        next_state = np.asarray(hf["env"]["state"])[1:, -1]
-        high_val = np.asarray(md["high_bound"])[-1]
-        low_val = np.asarray(md["low_bound"])[-1]
-        midpoint = (high_val + low_val) / 2.0
-        append = np.where(next_state > midpoint, high_val, low_val)[:, None]
-        return np.concatenate((actions, append), axis=-1)
-    if adim < params.target_adim and params.action_mismatch & ACTION_MISMATCH.PAD_ZERO:
-        pad = np.zeros((a_T, params.target_adim - adim), dtype=np.float32)
-        return np.concatenate((actions, pad), axis=-1)
-    if adim > params.target_adim and params.action_mismatch & ACTION_MISMATCH.CLEAVE:
-        return actions[:, : params.target_adim]
-    raise ValueError(
-        f"file adim - {adim}, target adim - {params.target_adim}, "
-        f"pad behavior - {params.action_mismatch}"
     )
+    if impute:
+        return np.concatenate(
+            (actions, _autograsp_grip_commands(hf, md)), axis=-1
+        )
+    return _fit_feature_width(actions, params.target_adim,
+                              params.action_mismatch, "action")
 
 
 def load_annotations(hf: h5py.File, md, params: LoaderParams,
                      cams_to_load: Sequence[int]) -> np.ndarray:
-    """Bounding-box annotations -> one-hot center maps
-    (reference: hdf5_loader.py:136-154)."""
-    old_height, old_width = (int(x) for x in md["frame_dim"])
-    target_height, target_width = params.img_size
-    sh = target_height / float(old_height)
-    sw = target_width / float(old_width)
-    annot = np.zeros(
-        (int(md["img_T"]), len(cams_to_load), target_height, target_width, 2),
-        dtype=np.float32,
-    )
+    """Object bbox annotations -> per-object one-hot center maps at the
+    target resolution, vectorized over (frame, camera, object) where the
+    release loader loops (behavioral spec incl. the truncating
+    center-pixel arithmetic: hdf5_loader.py:136-154)."""
+    n_frames = int(md["img_T"])
+    tgt_h, tgt_w = params.img_size
+    maps = np.zeros((n_frames, len(cams_to_load), tgt_h, tgt_w, 2),
+                    dtype=np.float32)
     if not md.get("contains_annotation", False):
         if params.zero_if_missing_annotation:
-            return annot
-        raise AssertionError("no annotations to load!")
-    point_mat = np.asarray(hf["env"]["bbox_annotations"]).astype(np.int32)
-    for t in range(int(md["img_T"])):
-        for n, cam in enumerate(cams_to_load):
-            for obj in range(point_mat.shape[2]):
-                h1, w1 = point_mat[t, cam, obj, 0] * [sh, sw] - 1
-                h2, w2 = point_mat[t, cam, obj, 1] * [sh, sw] - 1
-                h, w = int((h1 + h2) / 2), int((w1 + w2) / 2)
-                annot[t, n, h, w, obj] = 1
-    return annot
+            return maps
+        raise AssertionError(
+            "trajectory carries no bbox annotations "
+            "(set zero_if_missing_annotation to tolerate this)"
+        )
+    boxes = np.asarray(hf["env"]["bbox_annotations"]).astype(np.int32)
+    boxes = boxes[:n_frames, list(cams_to_load)]  # (T, cam, obj, corner, hw)
+    src_h, src_w = (int(x) for x in md["frame_dim"])
+    scale = np.array([tgt_h / float(src_h), tgt_w / float(src_w)])
+    # per-corner rescale then corner midpoint, truncated toward zero —
+    # the exact float-op order of the reference's int((h1+h2)/2)
+    centers = np.trunc((boxes * scale - 1.0).mean(axis=3)).astype(np.int64)
+    tt, cc, oo = np.indices(centers.shape[:3])
+    maps[tt, cc, centers[..., 0], centers[..., 1], oo] = 1.0
+    return maps
+
+
+def _read_pinned(f_name: str, expect_sha: Optional[str]) -> bytes:
+    """Read the trajectory into memory (h5py then serves every dataset
+    from the one disk read) and, when a checksum is supplied, pin the
+    bytes to the metadata cache's row."""
+    if not os.path.isfile(f_name):
+        raise IOError(f"no such trajectory file: {f_name}")
+    with open(f_name, "rb") as f:
+        buf = f.read()
+    if expect_sha is not None:
+        assert hashlib.sha256(buf).hexdigest() == expect_sha, (
+            f"checksum drift on {os.path.basename(f_name)}: the file no "
+            f"longer matches its meta_data.pkl row — rebuild the cache"
+        )
+    return buf
+
+
+def _snippet_window(md, load_T: int, rng: random.Random) -> Tuple[int, int]:
+    """(start, length) of the window to load. Length is bounded by the
+    shortest aligned stream — states, frames, or actions+1 (one more state
+    than action per trajectory); a `load_T` shorter than that draws the
+    start uniformly, endpoint-inclusive (hdf5_loader.py:167-171)."""
+    usable = min(int(md["state_T"]), int(md["img_T"]),
+                 int(md["action_T"]) + 1)
+    assert usable > 1, f"trajectory too short to use: {usable} aligned steps"
+    if 1 < load_T < usable:
+        return rng.randint(0, usable - load_T), load_T
+    return 0, usable
 
 
 def load_data(f_name: str, file_metadata, params: LoaderParams,
               rng=None):
-    """One trajectory -> (images(T,ncam,H,W,3), actions, states[, annot])
-    (reference: hdf5_loader.py:157-187). `rng` seeds the snippet draw the
-    same way (random.Random(rng).randint is endpoint-inclusive)."""
+    """One trajectory -> (images(T,ncam,H,W,3), actions, states, qpos
+    [, annotations]). `rng` seeds the snippet draw reproducibly
+    (behavioral spec: hdf5_loader.py:157-187; our tuple additionally
+    carries qpos, which the RAC robot models need)."""
     rng = random.Random(rng)
-    assert os.path.isfile(f_name), "invalid f_name"
-    with open(f_name, "rb") as f:
-        buf = f.read()
-    if params.check_sha256:
-        assert (
-            hashlib.sha256(buf).hexdigest() == file_metadata["sha256"]
-        ), "file hash doesn't match meta-data. maybe delete pkl and re-generate?"
+    sha = file_metadata["sha256"] if params.check_sha256 else None
+    buf = _read_pinned(f_name, sha)
 
     with h5py.File(io.BytesIO(buf), "r") as hf:
-        start_time = 0
-        n_states = min(
-            int(file_metadata["state_T"]),
-            int(file_metadata["img_T"]),
-            int(file_metadata["action_T"]) + 1,
-        )
-        assert n_states > 1, "must be more than one state in loaded tensor!"
-        if 1 < params.load_T < n_states:
-            start_time = rng.randint(0, n_states - params.load_T)
-            n_states = params.load_T
+        t0, n_steps = _snippet_window(file_metadata, params.load_T, rng)
 
         ncam = int(file_metadata["ncam"])
-        assert all(0 <= i < ncam for i in params.cams_to_load), \
-            "cams_to_load out of bounds!"
+        bad_cams = [c for c in params.cams_to_load if not 0 <= c < ncam]
+        if bad_cams:
+            raise IndexError(
+                f"camera indices {bad_cams} outside the file's "
+                f"{ncam} streams"
+            )
         images = np.stack(
             [
                 load_camera_imgs(c, hf, file_metadata, params.img_size,
-                                 start_time, n_states)
+                                 t0, n_steps)
                 for c in params.cams_to_load
             ],
             axis=1,
         )  # (T, ncam_sel, H, W, 3)
-        actions = load_actions(hf, file_metadata, params).astype(np.float32)[
-            start_time : start_time + n_states - 1
-        ]
-        states = load_states(hf, file_metadata, params).astype(np.float32)[
-            start_time : start_time + n_states
-        ]
-        qpos = load_qpos(hf).astype(np.float32)[start_time : start_time + n_states]
+        actions = load_actions(hf, file_metadata, params)
+        actions = actions.astype(np.float32)[t0 : t0 + n_steps - 1]
+        states = load_states(hf, file_metadata, params)
+        states = states.astype(np.float32)[t0 : t0 + n_steps]
+        qpos = load_qpos(hf).astype(np.float32)[t0 : t0 + n_steps]
         if params.load_annotations:
             annot = load_annotations(hf, file_metadata, params,
-                                     params.cams_to_load)[
-                start_time : start_time + n_states
-            ]
-            return images, actions, states, qpos, annot
+                                     params.cams_to_load)
+            return images, actions, states, qpos, annot[t0 : t0 + n_steps]
     return images, actions, states, qpos
 
 
@@ -630,6 +674,12 @@ def main(argv: Optional[Sequence[str]] = None):
             --viewpoint sawyer_sudri0_c0 [--cam_index 0] [--thick]
     """
     import argparse
+
+    # data-prep tool: tiny batched mask renders don't warrant a TPU (or a
+    # ~350 s tunnel init); pin to CPU before any jax device op
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
     ap = argparse.ArgumentParser(description=main.__doc__)
     ap.add_argument("--robonet_dir", required=True,

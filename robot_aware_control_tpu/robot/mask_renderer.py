@@ -34,7 +34,8 @@ from robot_aware_control_tpu.robot import locobot_kinematics as lk
 
 # per-segment radii (m) for [trunk, shoulder link, forearm, gripper],
 # tuned against MuJoCo segmentation renders of the reference locobot.xml
-# (benchmarks/mask_fidelity.py --tune: mean IoU 0.80 over a workspace sweep)
+# (benchmarks/mask_fidelity.py --tune; held-out protocol: tuned on seed-0
+# IK poses, fidelity reported on the disjoint seed-1 set — RESULTS.md)
 LOCOBOT_RADII = np.array([0.045, 0.046, 0.028, 0.042], np.float32)
 # the reference's "thick" MJCF only inflates the gripper/finger meshes 1.2x
 # (locobot_thick.xml vs locobot.xml mesh scales); model that as a
