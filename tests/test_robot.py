@@ -116,11 +116,16 @@ def test_capsule_renderer_masks():
     assert (frac > 0.005).all() and (frac < 0.5).all(), frac
     # different configurations give different masks
     assert not np.array_equal(np.asarray(mask[0]), np.asarray(mask[1]))
-    # thick mask strictly contains the thin one
+    # thick mask contains the thin one; equal only when the held-out tune
+    # (benchmarks/mask_fidelity.py --tune) found THICK_SCALE == 1.0, i.e.
+    # the capsules already cover the thick oracle's inflated gripper
+    import robot_aware_control_tpu.robot.mask_renderer as mr
     r_thick = CapsuleMaskRenderer((48, 64), thick=True)
     mt = np.asarray(r_thick.render(q))
     m = np.asarray(mask)
-    assert (mt >= m).all() and mt.sum() > m.sum()
+    assert (mt >= m).all()
+    if mr.THICK_SCALE > 1.0:
+        assert mt.sum() > m.sum()
 
 
 def test_analytical_model_predict_batch():
