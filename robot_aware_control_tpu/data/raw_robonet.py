@@ -87,6 +87,57 @@ def is_raw_robonet(hf: h5py.File) -> bool:
     return "env" in hf and "policy" in hf
 
 
+class RawSchemaError(Exception):
+    """Raised when a file fails to parse as a raw public-RoboNet
+    trajectory. Carries a tree diff — required paths that are absent and
+    keys this loader does not know — so schema drift in a future release
+    shows up as a loud named list, not a bare KeyError (VERDICT r4
+    Next #7)."""
+
+
+# the layout this loader understands (metadata_helper.py:84-131,
+# hdf5_loader.py:40-77 read exactly these paths)
+_KNOWN_TOP_KEYS = {"env", "policy", "misc", "metadata", "file_version"}
+_KNOWN_ENV_KEYS = {"state", "qpos", "low_bound", "high_bound",
+                   "bbox_annotations", "finger_sensors", "obs_dict"}
+_CAM_GROUP_RE = r"cam\d+_video"
+_REQUIRED_PATHS = ("env", "env/state", "policy", "policy/actions")
+
+
+def schema_report(hf: h5py.File) -> str:
+    """Human-readable diff of one open HDF5 against the raw layout:
+    which required paths are missing, and which keys are unknown to this
+    loader (candidates for schema drift). Never raises."""
+    import re as _re
+
+    missing = [p for p in _REQUIRED_PATHS if p not in hf]
+    unknown: List[str] = [k for k in hf.keys() if k not in _KNOWN_TOP_KEYS]
+    if "env" in hf:
+        env = hf["env"]
+        unknown += [
+            f"env/{k}" for k in env.keys()
+            if k not in _KNOWN_ENV_KEYS and not _re.fullmatch(_CAM_GROUP_RE, k)
+        ]
+        n_cams = int(env.attrs.get("n_cams", 0))
+        cam_groups = [k for k in env.keys() if _re.fullmatch(_CAM_GROUP_RE, k)]
+        if n_cams and len(cam_groups) != n_cams:
+            missing.append(
+                f"env@n_cams says {n_cams} streams but {len(cam_groups)} "
+                f"cam*_video groups exist"
+            )
+        elif not n_cams and not cam_groups:
+            missing.append("env@n_cams attr (no camera streams declared)")
+    if "policy" in hf:
+        unknown += [f"policy/{k}" for k in hf["policy"].keys()
+                    if k != "actions"]
+    lines = []
+    lines.append("missing required: "
+                 + (", ".join(missing) if missing else "(none)"))
+    lines.append("unknown keys: "
+                 + (", ".join(sorted(unknown)) if unknown else "(none)"))
+    return "\n".join(lines)
+
+
 # ---------------------------------------------------------------------------
 # metadata (reference: metadata_helper.py:84-172)
 
@@ -94,58 +145,71 @@ def is_raw_robonet(hf: h5py.File) -> bool:
 def load_metadata_dict(fname: str) -> Dict:
     """Per-file metadata row — same fields as the reference helper
     (metadata_helper.py:84-131), plus passthrough of `raw` frame encoding
-    (our fixture writer can store frames unencoded for hermetic tests)."""
+    (our fixture writer can store frames unencoded for hermetic tests).
+    Parse failures re-raise as RawSchemaError with a layout diff."""
     if not os.path.isfile(fname):
         raise IOError(f"no such trajectory file: {fname}")
     with open(fname, "rb") as f:
         buf = f.read()
     with h5py.File(io.BytesIO(buf), "r") as hf:
-        md: Dict = {"file_version": hf["file_version"][()] if "file_version" in hf
-                    else "unknown"}
-        md["sha256"] = hashlib.sha256(buf).hexdigest()
-        md["sdim"] = hf["env"]["state"].shape[1]
-        md["state_T"] = hf["env"]["state"].shape[0]
-        md["adim"] = hf["policy"]["actions"].shape[1]
-        md["action_T"] = hf["policy"]["actions"].shape[0]
+        try:
+            md = _metadata_row(hf)
+        except (KeyError, IndexError, AttributeError, ValueError) as e:
+            raise RawSchemaError(
+                f"{os.path.basename(fname)} does not parse as a raw "
+                f"public-RoboNet trajectory ({type(e).__name__}: {e}).\n"
+                + schema_report(hf)
+            ) from e
+    md["sha256"] = hashlib.sha256(buf).hexdigest()
+    return md
 
-        n_cams = hf["env"].attrs.get("n_cams", 0)
-        if n_cams:
-            md["ncam"] = int(n_cams)
-            enc = hf["env"].attrs.get("cam_encoding", "jpg")
-            enc = enc.decode() if isinstance(enc, bytes) else enc
-            cam0 = hf["env"]["cam0_video"]
-            if enc == "mp4":
-                md["frame_dim"] = tuple(int(x) for x in
-                                        cam0["frames"].attrs["shape"][:2])
-                md["img_T"] = int(cam0["frames"].attrs["T"])
-                md["img_encoding"] = "mp4"
-                fmt = cam0["frames"].attrs["image_format"]
-            elif enc == "raw":
-                md["frame_dim"] = tuple(int(x) for x in cam0["frames"].shape[1:3])
-                md["img_T"] = int(cam0["frames"].shape[0])
-                md["img_encoding"] = "raw"
-                fmt = cam0["frames"].attrs.get("image_format", "RGB")
-            else:
-                f0 = cam0["frame0"]
-                md["frame_dim"] = tuple(int(x) for x in f0.attrs["shape"][:2])
-                md["img_T"] = len(cam0)
-                md["img_encoding"] = "jpg"
-                fmt = f0.attrs["image_format"]
-            md["image_format"] = fmt.decode() if isinstance(fmt, bytes) else fmt
 
-        if "misc" in hf:
-            for k in hf["misc"].keys():
-                assert k not in md, f"misc/{k} collides with a derived field"
-                md[k] = hf["misc"][k][()]
-        if "metadata" in hf:
-            for k in hf["metadata"].attrs.keys():
-                assert k not in md, f"metadata/{k} collides with a derived field"
-                v = hf["metadata"].attrs[k]
-                md[k] = v.decode() if isinstance(v, bytes) else v
-        if "low_bound" not in md and "low_bound" in hf["env"]:
-            md["low_bound"] = np.asarray(hf["env"]["low_bound"][0])
-        if "high_bound" not in md and "high_bound" in hf["env"]:
-            md["high_bound"] = np.asarray(hf["env"]["high_bound"][0])
+def _metadata_row(hf: h5py.File) -> Dict:
+    md: Dict = {"file_version": hf["file_version"][()] if "file_version" in hf
+                else "unknown"}
+    md["sdim"] = hf["env"]["state"].shape[1]
+    md["state_T"] = hf["env"]["state"].shape[0]
+    md["adim"] = hf["policy"]["actions"].shape[1]
+    md["action_T"] = hf["policy"]["actions"].shape[0]
+
+    n_cams = hf["env"].attrs.get("n_cams", 0)
+    if n_cams:
+        md["ncam"] = int(n_cams)
+        enc = hf["env"].attrs.get("cam_encoding", "jpg")
+        enc = enc.decode() if isinstance(enc, bytes) else enc
+        cam0 = hf["env"]["cam0_video"]
+        if enc == "mp4":
+            md["frame_dim"] = tuple(int(x) for x in
+                                    cam0["frames"].attrs["shape"][:2])
+            md["img_T"] = int(cam0["frames"].attrs["T"])
+            md["img_encoding"] = "mp4"
+            fmt = cam0["frames"].attrs["image_format"]
+        elif enc == "raw":
+            md["frame_dim"] = tuple(int(x) for x in cam0["frames"].shape[1:3])
+            md["img_T"] = int(cam0["frames"].shape[0])
+            md["img_encoding"] = "raw"
+            fmt = cam0["frames"].attrs.get("image_format", "RGB")
+        else:
+            f0 = cam0["frame0"]
+            md["frame_dim"] = tuple(int(x) for x in f0.attrs["shape"][:2])
+            md["img_T"] = len(cam0)
+            md["img_encoding"] = "jpg"
+            fmt = f0.attrs["image_format"]
+        md["image_format"] = fmt.decode() if isinstance(fmt, bytes) else fmt
+
+    if "misc" in hf:
+        for k in hf["misc"].keys():
+            assert k not in md, f"misc/{k} collides with a derived field"
+            md[k] = hf["misc"][k][()]
+    if "metadata" in hf:
+        for k in hf["metadata"].attrs.keys():
+            assert k not in md, f"metadata/{k} collides with a derived field"
+            v = hf["metadata"].attrs[k]
+            md[k] = v.decode() if isinstance(v, bytes) else v
+    if "low_bound" not in md and "low_bound" in hf["env"]:
+        md["low_bound"] = np.asarray(hf["env"]["low_bound"][0])
+    if "high_bound" not in md and "high_bound" in hf["env"]:
+        md["high_bound"] = np.asarray(hf["env"]["high_bound"][0])
     return md
 
 
@@ -180,10 +244,18 @@ class MetadataTable:
         return self._frame.loc[os.path.basename(fname)]
 
     def select_objects(self, obj_class_name):
+        """Select by object class: a single name matches any trajectory
+        containing it; a list matches the exact class set (reference
+        MetaDataContainer semantics). Class lists may be stored either as
+        real lists or comma-joined attr strings."""
         col = self._frame["object_classes"]
+
+        def classes(x):
+            return x.split(",") if isinstance(x, str) else list(x)
+
         if isinstance(obj_class_name, str):
-            return self[[obj_class_name in x for x in col]]
-        return self[[set(obj_class_name) == set(x) for x in col]]
+            return self[[obj_class_name in classes(x) for x in col]]
+        return self[[set(obj_class_name) == set(classes(x)) for x in col]]
 
     def get_shuffled_files(self, rng: Optional[random.Random] = None) -> List[str]:
         files = self.files
@@ -572,7 +644,9 @@ def write_raw_robonet_hdf5(
                 ds.attrs["T"] = T
                 ds.attrs["image_format"] = image_format
             elif encoding == "raw":
-                frames = images[:, c]
+                # store in the labeled channel order (input is true RGB)
+                frames = (images[:, c, :, :, ::-1] if image_format == "BGR"
+                          else images[:, c])
                 ds = grp.create_dataset("frames", data=frames)
                 ds.attrs["shape"] = np.array([H, W, 3])
                 ds.attrs["T"] = T

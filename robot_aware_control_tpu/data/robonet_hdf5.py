@@ -129,19 +129,33 @@ class RoboNetHDF5Dataset:
         vp_cam = re.search(r"_c(\d+)$", robot_viewpoint)
         if vp_cam is not None:
             cam = int(vp_cam.group(1))
-        cam = min(cam, int(md.get("ncam", 1)) - 1)
+        ncam = int(md.get("ncam", 1))
+        cam = min(cam, ncam - 1)
+        # --multiview on a multi-stream raw file: --camera_ids are FILE
+        # STREAM indices; invalid ids fall back to the first streams. The
+        # selected views stack vertically, matching the env-side
+        # MultiviewMixin layout the models train on (envs/variants.py:92).
+        # This is the consumer for the release loader's multi-cam sampling
+        # (reference: robonet/.../hdf5_loader.py:32 cams_to_load).
+        cams = [cam]
+        if cfg.multiview and ncam > 1:
+            cams = [c for c in cfg.camera_ids if 0 <= c < ncam]
+            if len(cams) < 2:
+                cams = list(range(min(max(len(cfg.camera_ids), 2), ncam)))
         params = rr.LoaderParams(
             target_adim=cfg.action_dim,
             target_sdim=int(md["sdim"]),
             action_mismatch=rr.ACTION_MISMATCH.PAD_ZERO,
             impute_autograsp_action=cfg.impute_autograsp_action,
             img_size=native,
-            cams_to_load=[cam],
+            cams_to_load=cams,
             load_T=0,
             check_sha256=False,
         )
         images, actions, states, qpos = rr.load_data(path, md, params)
-        images = images[:, 0]  # single selected camera
+        # (T, n_views, H, W, 3) -> views stacked vertically (T, n*H, W, 3)
+        T_, nv, ih, iw, _ = images.shape
+        images = images.reshape(T_, nv * ih, iw, 3)
         ep_len = images.shape[0]
         if ep_len < self._video_length:
             raise ValueError(f"{path}: episode {ep_len} < {self._video_length}")
@@ -153,14 +167,21 @@ class RoboNetHDF5Dataset:
         robot = md.get("robot")
         if robot is None:
             robot = robot_viewpoint.split("_")[0]
-        key = robot_viewpoint if "_" in robot_viewpoint else None
-        env = self._raw_mask_env(str(robot), key, native)
-        if env is None:
-            masks = np.zeros(images.shape[:3] + (1,), np.float32)
-        else:
-            masks = np.asarray(env.generate_masks(qpos), np.float32)
-            if masks.ndim == 3:
-                masks = masks[..., None]
+        base_key = robot_viewpoint if "_" in robot_viewpoint else None
+        per_view = []
+        for c in cams:
+            key = base_key
+            if base_key is not None and len(cams) > 1:
+                key = re.sub(r"_c\d+$", f"_c{c}", base_key)
+            env = self._raw_mask_env(str(robot), key, native)
+            if env is None:
+                m = np.zeros((ep_len,) + native + (1,), np.float32)
+            else:
+                m = np.asarray(env.generate_masks(qpos), np.float32)
+                if m.ndim == 3:
+                    m = m[..., None]
+            per_view.append(m)
+        masks = np.concatenate(per_view, axis=1)  # views stacked like images
         with h5py.File(path, "r") as hf:
             raw_low = np.asarray(hf["env"]["low_bound"][-1], np.float32)
             raw_high = np.asarray(hf["env"]["high_bound"][-1], np.float32)

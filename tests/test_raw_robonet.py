@@ -377,6 +377,146 @@ def test_trainer_trains_on_public_raw_layout(tmp_path):
     assert losses and all(np.isfinite(v) for v in losses)
 
 
+def test_bgr_channel_order_all_encodings(tmp_path):
+    """Files labeled image_format=BGR decode back to true-RGB under every
+    encoding (hdf5_loader.py:69-71 reads the same attr). Locks the writer/
+    loader contract: writer input is always true RGB; the attr labels the
+    on-disk order only."""
+    rng = np.random.RandomState(12)
+    ep = _episode(rng)
+    truth = ep[0][:, 0].astype(np.int32)
+    for enc in ("raw", "jpg", "mp4"):
+        path = _write(str(tmp_path / enc / "traj0.hdf5"), ep, enc,
+                      image_format="BGR")
+        md = rr.load_metadata_dict(path)
+        assert md["image_format"] == "BGR"
+        with h5py.File(path, "r") as hf:
+            out = rr.load_camera_imgs(0, hf, md, (H, W)).astype(np.int32)
+        if enc == "raw":
+            # passthrough is exact — and the on-disk array really is BGR
+            np.testing.assert_array_equal(out, truth)
+            with h5py.File(path, "r") as hf:
+                disk = np.asarray(hf["env"]["cam0_video"]["frames"])
+            np.testing.assert_array_equal(disk, truth[..., ::-1])
+        else:
+            err = np.abs(out - truth).mean()
+            err_swapped = np.abs(out[..., ::-1] - truth).mean()
+            assert err < 12.0, (enc, err)  # codec loss only
+            assert err_swapped > 2 * err, (enc, err, err_swapped)
+
+
+def test_multicam_sampling_load_data(tmp_path):
+    """cams_to_load samples an arbitrary subset of a multi-stream file
+    (the vendored loader's cams_to_load=[0,1,2] SAVP usage,
+    hdf5_loader.py:32,160-166): images come back (T, n_sel, H, W, 3) in
+    request order, each stream matching its solo decode; out-of-range
+    indices fail loudly."""
+    rng = np.random.RandomState(13)
+    imgs, states, actions, qpos = _episode(rng, ncam=3, adim=4)
+    path = _write(str(tmp_path / "m" / "traj0.hdf5"),
+                  (imgs, states, actions, qpos), "raw")
+    md = rr.load_metadata_dict(path)
+    assert md["ncam"] == 3
+    p = rr.LoaderParams(target_adim=5, img_size=(H, W),
+                        cams_to_load=[2, 0])
+    images, _, _, _ = rr.load_data(path, md, p)
+    assert images.shape == (T, 2, H, W, 3)
+    np.testing.assert_array_equal(images[:, 0], imgs[:, 2])
+    np.testing.assert_array_equal(images[:, 1], imgs[:, 0])
+    with pytest.raises(IndexError):
+        rr.load_data(path, md, rr.LoaderParams(
+            target_adim=5, img_size=(H, W), cams_to_load=[3]))
+
+
+def test_metadata_filters(tmp_path):
+    """The pandas-side selections the reference pipelines filter on
+    (metadata_helper.py:13-81): object_classes membership/exact-set and
+    camera_configuration row filters."""
+    rng = np.random.RandomState(14)
+    d = tmp_path / "db"
+    specs = [("toys",), ("toys", "cloth"), ("cloth",)]
+    for i, oc in enumerate(specs):
+        _write(str(d / f"traj{i}.hdf5"), _episode(rng), "raw",
+               object_classes=oc,
+               camera_configuration="sudri0" if i < 2 else "vestri1")
+    table = rr.load_metadata(str(d))
+    # membership select: any trajectory containing the class
+    assert len(table.select_objects("toys")) == 2
+    assert len(table.select_objects("cloth")) == 2
+    # exact-set select via a list argument
+    exact = table.select_objects(["cloth", "toys"])
+    assert list(exact.frame.index) == ["traj1.hdf5"]
+    # camera_configuration row filter, reference pipeline style
+    sudri = table[[c == "sudri0" for c in table.frame["camera_configuration"]]]
+    assert len(sudri) == 2 and "camera_configuration" in sudri.keys()
+    # filters compose
+    assert len(sudri.select_objects("cloth")) == 1
+
+
+def test_schema_canary_lists_missing_and_unknown_keys(tmp_path):
+    """A file that fails to parse raises RawSchemaError naming the missing
+    required paths AND the keys this loader doesn't know — schema drift in
+    a future release surfaces as a named diff, not a bare KeyError
+    (VERDICT r4 Next #7)."""
+    bad = str(tmp_path / "bad.hdf5")
+    with h5py.File(bad, "w") as hf:
+        env = hf.create_group("env")  # no state, no cameras
+        env.create_dataset("teleport_log", data=np.zeros(3))
+        hf.create_group("wizardry")
+        hf.create_group("policy").create_dataset("actionz", data=np.zeros(3))
+    with pytest.raises(rr.RawSchemaError) as ei:
+        rr.load_metadata_dict(bad)
+    msg = str(ei.value)
+    for expected in ("env/state", "policy/actions", "wizardry",
+                     "env/teleport_log", "policy/actionz", "n_cams"):
+        assert expected in msg, (expected, msg)
+    # a well-formed file produces a clean report and parses fine
+    good = _write(str(tmp_path / "good.hdf5"),
+                  _episode(np.random.RandomState(15)), "raw")
+    with h5py.File(good, "r") as hf:
+        report = rr.schema_report(hf)
+    assert "missing required: (none)" in report
+    assert "unknown keys: (none)" in report
+    rr.load_metadata_dict(good)
+
+
+def test_multiview_raw_dataset_stacks_views(tmp_path):
+    """--multiview + --camera_ids on a multi-stream raw file: the dataset
+    item carries the selected streams stacked vertically with per-view
+    masks, matching the env-side MultiviewMixin layout
+    (envs/variants.py:92-105). Closes the vendored loader's multi-cam
+    consumption gap (VERDICT r4 Next #10)."""
+    rng = np.random.RandomState(16)
+    imgs, states, actions, qpos = _episode(rng, ncam=2, adim=4)
+    raw = _write(str(tmp_path / "sawyer_sudri0_c0" / "traj0.hdf5"),
+                 (imgs, states, actions, qpos), "raw",
+                 camera_configuration="sudri0")
+    # native decode resolution is (64, 85); pick cfg sizes that make the
+    # post-stack resize the identity so halves compare exactly
+    mv_cfg = _our_cfg(multiview=True, camera_ids=(0, 1),
+                      image_height=128, image_width=85)
+    item = RoboNetHDF5Dataset([raw], ["sawyer_sudri0_c0"], mv_cfg)[0]
+    assert item["images"].shape == (6, 128, 85, 3)
+    assert item["masks"].shape[:3] == (6, 128, 85)
+
+    solo = {
+        c: RoboNetHDF5Dataset(
+            [raw], [f"sawyer_sudri0_c{c}"],
+            _our_cfg(image_height=64, image_width=85),
+        )[0]
+        for c in (0, 1)
+    }
+    np.testing.assert_array_equal(item["images"][:, :64], solo[0]["images"])
+    np.testing.assert_array_equal(item["images"][:, 64:], solo[1]["images"])
+    np.testing.assert_array_equal(item["masks"][:, :64], solo[0]["masks"])
+    np.testing.assert_array_equal(item["masks"][:, 64:], solo[1]["masks"])
+    # camera_ids out of range fall back to the first streams
+    fb_cfg = _our_cfg(multiview=True, camera_ids=(0, 4),
+                      image_height=128, image_width=85)
+    fb = RoboNetHDF5Dataset([raw], ["sawyer_sudri0_c0"], fb_cfg)[0]
+    np.testing.assert_array_equal(fb["images"], item["images"])
+
+
 def test_dataset_raw_layout_unknown_robot_zero_masks(tmp_path):
     """Raw files from a robot with no measured chain still load (masks
     zeroed) rather than crash."""
