@@ -359,3 +359,271 @@ def test_mbrl_algo_validation():
 
     with pytest.raises(ValueError):
         episode_runner.main(["--mbrl_algo", "mppi"])
+
+
+# ---------------------------------------------------------------------------
+# round-5 widening: behavioral coverage for flags the static AST lock
+# proves consumed but no test previously exercised end-to-end
+
+
+def _rollout_engine_cfg(**kw):
+    base = dict(
+        reward_type="dense", image_height=48, image_width=64,
+        robot_dim=5, action_dim=5, model_use_mask=True,
+        model_use_robot_state=True, reconstruction_loss="l1",
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def test_eef_action_scale_scales_planned_displacement():
+    """--eef_action_scale converts env-unit CEM actions to metric eef
+    displacement inside the rollout IK block — the unit-mismatch bug the
+    round-1 planner probe caught (RESULTS.md). Doubling the scale must
+    exactly double the integrated planar displacement."""
+    from robot_aware_control_tpu.planning.rollout import RolloutEngine
+
+    actions = jnp.full((3, 2, 5), 0.1, jnp.float32)
+    start_norm = jnp.zeros(5, jnp.float32)
+    start_qpos = jnp.zeros(5, jnp.float32)
+
+    def displacement(scale):
+        eng = RolloutEngine(_rollout_engine_cfg(eef_action_scale=scale))
+        _, states_raw, _ = eng.robot_trajectory(start_norm, start_qpos,
+                                               actions)
+        return np.asarray(states_raw[-1, 0, :2] - states_raw[0, 0, :2])
+
+    d1, d2 = displacement(0.05), displacement(0.10)
+    assert np.linalg.norm(d1) > 1e-4
+    np.testing.assert_allclose(d2, 2.0 * d1, rtol=1e-5)
+
+
+def test_cem_prediction_use_thick_mask_dilates_rollout_masks(monkeypatch):
+    """--cem_prediction_use_thick_mask renders the planner's predicted
+    masks with the gripper inflated by THICK_SCALE (reference hardcodes
+    thick=True, trajectory_sampler.py:107); turning it off must shrink
+    mask area. The SHIPPED held-out-tuned locobot THICK_SCALE is 1.0
+    (r5 tuning outcome — the 1.2x thick-MJCF inflation does not improve
+    IoU vs the thick oracle), which would make the flag a pixel-level
+    no-op for the tuned locobot, so pin an inflating scale here to prove
+    the flag still routes to the thick renderer."""
+    import robot_aware_control_tpu.robot.mask_renderer as mr
+    from robot_aware_control_tpu.planning.rollout import RolloutEngine
+
+    monkeypatch.setattr(mr, "THICK_SCALE", 1.4)
+    actions = jnp.zeros((2, 1, 5), jnp.float32)
+    start_norm = jnp.zeros(5, jnp.float32)
+    start_qpos = jnp.zeros(5, jnp.float32)
+
+    def mask_px(thick):
+        eng = RolloutEngine(
+            _rollout_engine_cfg(cem_prediction_use_thick_mask=thick)
+        )
+        _, _, masks = eng.robot_trajectory(start_norm, start_qpos, actions)
+        return float(jnp.sum(masks))
+
+    thick_px, thin_px = mask_px(True), mask_px(False)
+    assert thin_px > 0
+    assert thick_px > thin_px
+
+
+def test_pick_wide_x_std_restores_reference_exploration():
+    """--pick_wide_x_std ablation switch (benchmarks/pick_std_ablation.py):
+    with a demo-seeded mean, the default keeps exploration local
+    (x-std == init_std/…); the flag restores the reference's wide x-std
+    0.2 scheme (reference: src/cem/pick/cem.py:66-74). The mean stays
+    demo-seeded either way."""
+    from types import SimpleNamespace
+
+    from robot_aware_control_tpu.planning.cem import PickCEMPolicy
+
+    demo = np.tile(np.array([[0.3, -0.2, 0.1, -0.004]], np.float32), (5, 1))
+
+    def mean_std(wide):
+        stub = SimpleNamespace(
+            init_std=0.015,
+            cfg=Config(demo_cost=True, pick_wide_x_std=wide),
+        )
+        return PickCEMPolicy.init_mean_std(stub, 6, opt_traj=demo)
+
+    mean_l, std_l = mean_std(False)
+    mean_w, std_w = mean_std(True)
+    np.testing.assert_allclose(np.asarray(mean_l), np.asarray(mean_w))
+    np.testing.assert_allclose(np.asarray(mean_l)[:5], demo, atol=1e-6)
+    assert float(std_w[0, 0]) == pytest.approx(0.2)
+    assert float(std_l[0, 0]) == pytest.approx(0.015)
+
+
+def test_black_robot_input_flag_forces_robot_model():
+    """--black_robot_input alone (plain l1 loss, no mask/state
+    conditioning) must still pull the analytic robot model into the
+    rollout so there are masks to black out (reference:
+    trajectory_sampler.py:28,90 and trainer.py:364-368)."""
+    from robot_aware_control_tpu.planning.rollout import _needs_robot_model
+
+    base = dict(model_use_mask=False, model_use_robot_state=False,
+                model_use_heatmap=False, reconstruction_loss="l1",
+                reward_type="dense")
+    assert not _needs_robot_model(Config(**base))
+    assert _needs_robot_model(Config(black_robot_input=True, **base))
+
+
+# ---------------------------------------------------------------------------
+# trainer-side flags: scheduled_sampling_k, movement_weight, eval_batches
+
+
+def _tiny_trainer(tmp_path, **kw):
+    from robot_aware_control_tpu.training.trainer import PredictionTrainer
+
+    base = dict(
+        model="det", g_dim=8, image_height=16, image_width=16,
+        n_past=1, n_future=2, n_eval=3, batch_size=2, channels=3,
+        compute_dtype="float32", log_dir=str(tmp_path), jobname="flagbeh",
+        num_devices=1, experiment="synthetic",
+    )
+    base.update(kw)
+    return PredictionTrainer(Config(**base))
+
+
+def test_scheduled_sampling_k_sets_decay(tmp_path):
+    """--scheduled_sampling_k is the inverse-sigmoid decay constant of the
+    teacher-forcing probability k/(k+exp(step/k)) (reference:
+    trainer.py:132-139): larger k decays slower, and the flag off means
+    always ground truth."""
+    tr = _tiny_trainer(tmp_path / "a", scheduled_sampling=True,
+                       scheduled_sampling_k=100.0)
+    tr._step = 0
+    p0 = tr._sched_prob()
+    tr._step = 500
+    p500 = tr._sched_prob()
+    assert p0 == pytest.approx(100.0 / 101.0)
+    assert p500 < p0
+
+    slow = _tiny_trainer(tmp_path / "b", scheduled_sampling=True,
+                         scheduled_sampling_k=1000.0)
+    slow._step = 500
+    assert slow._sched_prob() > p500
+
+    off = _tiny_trainer(tmp_path / "c", scheduled_sampling=False)
+    off._step = 10_000
+    assert off._sched_prob() == 1.0
+
+
+def test_movement_weight_weights_high_movement_samples(tmp_path):
+    """--movement_weight turns the per-video high_movement label into a
+    per-sample loss weight (reference: trainer.py:341-344 scales the
+    dontcare loss for moving-object videos)."""
+    tr = _tiny_trainer(tmp_path, movement_weight=7.5)
+    batch = {
+        "images": np.zeros((4, 3, 16, 16, 3), np.float32),
+        "actions": np.zeros((3, 3, 5), np.float32),
+        "high_movement": np.array([True, False, True]),
+    }
+    w = tr._window(batch, 0, 3)
+    np.testing.assert_allclose(w["batch_weight"], [7.5, 1.0, 7.5])
+
+
+def test_eval_batches_caps_eval_epoch(tmp_path):
+    """--eval_batches caps per-eval batches (0 = the reference's full-set
+    eval, trainer.py:467-489); the copy-baseline's num_batches=-1 forces
+    the full set regardless."""
+    calls = []
+
+    def run(cfg_eval_batches, num_batches=0, total=5):
+        tr = _tiny_trainer(tmp_path / str(len(calls)),
+                           eval_batches=cfg_eval_batches)
+        tr._eval_video = lambda batch, autoregressive: {"psnr": 1.0}
+        it = iter([{"images": None}] * total)
+        _, n = tr._eval_epoch(it, num_batches=num_batches)
+        calls.append(n)
+        return n
+
+    assert run(2) == 2          # cfg cap
+    assert run(0) == 5          # cfg 0 -> full set
+    assert run(2, num_batches=-1) == 5   # forced full set
+    assert run(0, num_batches=3) == 3    # explicit arg wins
+
+
+# ---------------------------------------------------------------------------
+# data-augmentation flags (reference: robonet_dataset.py:257-300)
+
+
+def _augment_with(cfg, images, masks):
+    from robot_aware_control_tpu.data.robonet_hdf5 import RoboNetHDF5Dataset
+
+    ds = object.__new__(RoboNetHDF5Dataset)
+    ds._config = cfg
+    ds._rng = np.random.RandomState(3)
+    return RoboNetHDF5Dataset._augment(ds, images, masks)
+
+
+def test_color_jitter_range_and_random_crop():
+    """--color_jitter_range scales/shifts colors episode-consistently and
+    --random_crop_size crops-then-resizes images AND masks together; a
+    full-size crop with zero jitter is the identity."""
+    rng = np.random.RandomState(0)
+    images = rng.rand(4, 48, 64, 3).astype(np.float32)
+    masks = (rng.rand(4, 48, 64, 1) > 0.8).astype(np.float32)
+
+    idem_cfg = Config(random_crop_size=64, color_jitter_range=0.0)
+    im2, m2 = _augment_with(idem_cfg, images.copy(), masks.copy())
+    np.testing.assert_allclose(im2, images, atol=1e-6)
+    np.testing.assert_allclose(m2, masks, atol=1e-6)
+
+    jit_cfg = Config(random_crop_size=64, color_jitter_range=0.2)
+    im3, m3 = _augment_with(jit_cfg, images.copy(), masks.copy())
+    assert np.abs(im3 - images).max() > 1e-3      # colors moved
+    np.testing.assert_allclose(m3, masks, atol=1e-6)  # masks untouched
+    # episode-consistent: the SAME affine color map applies to every
+    # frame, so the per-pixel delta im3 - jitter*images - shift vanishes
+    # for some single (jitter, shift) — recover it from frame 0 and check
+    # it explains frame 1 wherever unclipped
+    safe = (im3 > 1e-3) & (im3 < 1 - 1e-3)
+    for c in range(3):  # jitter is per-channel affine
+        s0 = safe[0, ..., c]  # fit only on unclipped pixels
+        a, b = np.polyfit(images[0, ..., c][s0].ravel(),
+                          im3[0, ..., c][s0].ravel(), 1)
+        pred1 = np.clip(images[1, ..., c] * a + b, 0.0, 1.0)
+        err = np.where(safe[1, ..., c], im3[1, ..., c] - pred1, 0.0)
+        assert np.abs(err).max() < 1e-4
+
+    crop_cfg = Config(random_crop_size=48, color_jitter_range=0.0)
+    im4, m4 = _augment_with(crop_cfg, images.copy(), masks.copy())
+    assert im4.shape == images.shape and m4.shape == masks.shape
+    assert np.abs(im4 - images).max() > 1e-3      # geometry moved
+    assert set(np.unique(m4)) <= {0.0, 1.0}       # masks stay binary
+
+
+def test_temporal_beta_smooths_demo_actions():
+    """--temporal_beta is the temporal-correlation coefficient of the
+    random segment of temporal_random_robot demos (reference:
+    locobot_table_env.py:383-396): small beta -> successive random
+    actions nearly equal, beta=1 -> independent draws."""
+    from robot_aware_control_tpu.envs.locobot_table import LocobotTableEnv
+
+    def mean_step_change(beta):
+        diffs = []
+        for seed in (0, 1, 2):
+            cfg = Config(demo_length=20, temporal_beta=beta, action_noise=0.0)
+            env = LocobotTableEnv(cfg, seed=seed)
+            acs = np.stack(env.generate_demo()["ac"])
+            tail = acs[-6:, :2]  # the random segment is the demo tail
+            diffs.append(np.abs(np.diff(tail, axis=0)).mean())
+        return float(np.mean(diffs))
+
+    assert mean_step_change(0.05) < 0.5 * mean_step_change(1.0)
+
+
+def test_inpaint_eef_keeps_tip_pixels():
+    """--inpaint_eef False keeps the end-effector tip visible when
+    norobot_pixels_ob replaces robot pixels with background (reference:
+    fetch_push.py inpaint_eef carve-out)."""
+
+    def obs_with(inpaint):
+        cfg = Config(norobot_pixels_ob=True, inpaint_eef=inpaint)
+        env = ClutterPushEnv(cfg, seed=4)
+        obs = env.reset()
+        return np.asarray(obs["observation"], np.float32)
+
+    # the two modes must disagree exactly where the tip carve-out is
+    assert np.abs(obs_with(True) - obs_with(False)).max() > 1e-3
