@@ -21,7 +21,7 @@ close the two are, per robot:
 
 Usage:
   python benchmarks/mask_fidelity.py [--robots all|locobot|sawyer,...]
-      [--tune] [--grid 7] [--n 40] [--out PATH]
+      [--tune] [--n 40] [--out PATH]
 
 Requires mujoco + the reference checkout at /root/reference (override with
 REFERENCE_ROOT). Skips gracefully (exit 0, {"skipped": ...}) if missing.
@@ -237,10 +237,11 @@ def run_locobot(args, results, loco_tuned):
     print(f"locobot: {len(qpos_t)} tune / {len(qpos_e)} held-out IK poses")
 
     oracles = {t: MujocoMaskOracle(t, cam_ext) for t in (False, True)}
-    mj_t = {t: np.stack([o.mask(q) for q in qpos_t])
-            for t, o in oracles.items()}
     mj_e = {t: np.stack([o.mask(q) for q in qpos_e])
             for t, o in oracles.items()}
+    # the seed-0 tune-set oracle renders are only consumed by the tuner
+    mj_t = ({t: np.stack([o.mask(q) for q in qpos_t])
+             for t, o in oracles.items()} if args.tune else None)
 
     def mean_iou(mj, caps):
         return float(np.mean([iou(a, b) for a, b in zip(mj, caps)]))
@@ -416,8 +417,9 @@ def run_chain_robot(robot: str, args, results, tuned, tuned_ext, tuned_occ):
         fk_err.append(np.abs(mine - ref).max())
     fk_err = float(np.max(fk_err))
 
-    mj_t = np.stack([oracle.mask(q) for q in qpos_t])
     mj_e = np.stack([oracle.mask(q) for q in qpos_e])
+    # the seed-0 tune-set oracle renders are only consumed by the tuner
+    mj_t = np.stack([oracle.mask(q) for q in qpos_t]) if args.tune else None
 
     base_robot = "baxter" if robot == "baxter_right" else robot
     arm = "right" if robot == "baxter_right" else "left"
@@ -591,7 +593,6 @@ def write_tuned(tuned, tuned_ext, tuned_occ, path):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--grid", type=int, default=7)
     ap.add_argument("--n", type=int, default=40)
     ap.add_argument("--robots", default="all")
     ap.add_argument("--tune", action="store_true")

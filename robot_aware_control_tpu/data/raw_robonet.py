@@ -114,6 +114,13 @@ def schema_report(hf: h5py.File) -> str:
     unknown: List[str] = [k for k in hf.keys() if k not in _KNOWN_TOP_KEYS]
     if "env" in hf:
         env = hf["env"]
+        if not isinstance(env, h5py.Group):
+            missing.append("env is not a group (found "
+                           f"{type(env).__name__})")
+            env = None
+    else:
+        env = None
+    if env is not None:
         unknown += [
             f"env/{k}" for k in env.keys()
             if k not in _KNOWN_ENV_KEYS and not _re.fullmatch(_CAM_GROUP_RE, k)
@@ -128,8 +135,12 @@ def schema_report(hf: h5py.File) -> str:
         elif not n_cams and not cam_groups:
             missing.append("env@n_cams attr (no camera streams declared)")
     if "policy" in hf:
-        unknown += [f"policy/{k}" for k in hf["policy"].keys()
-                    if k != "actions"]
+        pol = hf["policy"]
+        if isinstance(pol, h5py.Group):
+            unknown += [f"policy/{k}" for k in pol.keys() if k != "actions"]
+        else:
+            missing.append("policy is not a group (found "
+                           f"{type(pol).__name__})")
     lines = []
     lines.append("missing required: "
                  + (", ".join(missing) if missing else "(none)"))
@@ -147,10 +158,7 @@ def load_metadata_dict(fname: str) -> Dict:
     (metadata_helper.py:84-131), plus passthrough of `raw` frame encoding
     (our fixture writer can store frames unencoded for hermetic tests).
     Parse failures re-raise as RawSchemaError with a layout diff."""
-    if not os.path.isfile(fname):
-        raise IOError(f"no such trajectory file: {fname}")
-    with open(fname, "rb") as f:
-        buf = f.read()
+    buf = _read_pinned(fname, None)
     with h5py.File(io.BytesIO(buf), "r") as hf:
         try:
             md = _metadata_row(hf)

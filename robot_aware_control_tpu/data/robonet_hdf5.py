@@ -85,6 +85,7 @@ class RoboNetHDF5Dataset:
         # raw public-RoboNet support: camera index + per-robot mask renderers
         self._raw_camera = raw_camera
         self._mask_envs: Dict = {}
+        self._warned: set = set()
         # --preload_ram: decode every file once up-front
         # (reference: robonet_dataset.py preload option)
         self._ram: Optional[list] = None
@@ -102,6 +103,15 @@ class RoboNetHDF5Dataset:
 
     def __len__(self):
         return len(self._traj_names)
+
+    def _warn_once(self, msg: str) -> None:
+        """Emit each distinct data-path warning once per dataset (raw
+        multiview ingestion can hit the same condition on every file)."""
+        if msg not in self._warned:
+            self._warned.add(msg)
+            import warnings
+
+            warnings.warn(msg)
 
     # ------------------------------------------------------------------
     def _load_raw_file(self, path: str, robot_viewpoint: str
@@ -132,16 +142,27 @@ class RoboNetHDF5Dataset:
         ncam = int(md.get("ncam", 1))
         cam = min(cam, ncam - 1)
         # --multiview on a multi-stream raw file: --camera_ids are FILE
-        # STREAM indices; invalid ids fall back to the first streams. The
-        # selected views stack vertically, matching the env-side
-        # MultiviewMixin layout the models train on (envs/variants.py:92).
-        # This is the consumer for the release loader's multi-cam sampling
+        # STREAM indices; the view count is len(camera_ids), and each
+        # requested id that is out of range for this file falls back to
+        # its positional stream (with a warning) so explicitly requested
+        # valid streams are always honored. The selected views stack
+        # vertically, matching the env-side MultiviewMixin layout the
+        # models train on (envs/variants.py:92). This is the consumer for
+        # the release loader's multi-cam sampling
         # (reference: robonet/.../hdf5_loader.py:32 cams_to_load).
         cams = [cam]
         if cfg.multiview and ncam > 1:
-            cams = [c for c in cfg.camera_ids if 0 <= c < ncam]
-            if len(cams) < 2:
-                cams = list(range(min(max(len(cfg.camera_ids), 2), ncam)))
+            cams = []
+            for i, c in enumerate(cfg.camera_ids):
+                if 0 <= c < ncam:
+                    cams.append(int(c))
+                else:
+                    fallback = min(i, ncam - 1)
+                    self._warn_once(
+                        f"camera id {c} out of range for {path} "
+                        f"(ncam={ncam}); using stream {fallback} for "
+                        f"view {i}")
+                    cams.append(fallback)
         params = rr.LoaderParams(
             target_adim=cfg.action_dim,
             target_sdim=int(md["sdim"]),
@@ -171,10 +192,22 @@ class RoboNetHDF5Dataset:
         per_view = []
         for c in cams:
             key = base_key
-            if base_key is not None and len(cams) > 1:
-                key = re.sub(r"_c\d+$", f"_c{c}", base_key)
+            if base_key is not None and c != cam:
+                # non-primary stream: its extrinsics live under the _c<c>
+                # calibration key; a dir name with no _c suffix gets one
+                # appended (a wrong-camera mask would silently poison the
+                # dontcare loss, so never reuse the primary view's key)
+                if re.search(r"_c\d+$", base_key):
+                    key = re.sub(r"_c\d+$", f"_c{c}", base_key)
+                else:
+                    key = f"{base_key}_c{c}"
             env = self._raw_mask_env(str(robot), key, native)
             if env is None:
+                if cfg.multiview:
+                    self._warn_once(
+                        f"no mask calibration for view key {key!r} "
+                        f"(stream {c}) of {path}; that view's masks are "
+                        "zeroed")
                 m = np.zeros((ep_len,) + native + (1,), np.float32)
             else:
                 m = np.asarray(env.generate_masks(qpos), np.float32)

@@ -24,6 +24,8 @@ eps 1e-3 — TF-Slim I3D convention) + ReLU.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -250,7 +252,7 @@ def convert_tf_checkpoint(tf_vars: dict):
 # shippable weight file, verified against the pinned manifest
 # (i3d_manifest.json: full key/shape table + content-hash pin).
 
-MANIFEST_PATH = __file__.replace("i3d.py", "i3d_manifest.json")
+MANIFEST_PATH = os.path.join(os.path.dirname(__file__), "i3d_manifest.json")
 
 
 def content_hash(params) -> str:

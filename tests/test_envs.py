@@ -164,10 +164,7 @@ def test_quasistatic_guard_still_fires():
         if gap < CONTACT_RADIUS + 0.3 * ACTION_SCALE:
             break
         a = np.clip(delta / ACTION_SCALE, -1, 1)
-        env.step(np.array([*(a * min(1.0, (gap - CONTACT_RADIUS) /
-                                     ACTION_SCALE / max(np.abs(a).max(), 1e-6)
-                                     )), 0, 0, 0][:5], np.float32)
-                 if False else np.pad(a, (0, 3)).astype(np.float32))
+        env.step(np.pad(a, (0, 3)).astype(np.float32))
     eef = np.asarray(env.state.eef)
     toward = (block[:2] - eef[:2])
     toward /= np.linalg.norm(toward) + 1e-8

@@ -588,3 +588,63 @@ def test_dataset_raw_layout_unknown_robot_zero_masks(tmp_path):
     item = ds[0]
     assert item["masks"].sum() == 0
     assert item["images"].shape == (6, 48, 64, 3)
+
+
+def test_schema_canary_survives_dataset_where_group_expected(tmp_path):
+    """`env`/`policy` stored as DATASETS (not groups) still produce the
+    named RawSchemaError diff — the canary's 'never raises' contract must
+    hold for node-kind drift, not just missing keys (r5 review fix)."""
+    bad = str(tmp_path / "flat.hdf5")
+    with h5py.File(bad, "w") as hf:
+        hf.create_dataset("env", data=np.zeros(3))
+        hf.create_dataset("policy", data=np.zeros(3))
+    with pytest.raises(rr.RawSchemaError) as ei:
+        rr.load_metadata_dict(bad)
+    msg = str(ei.value)
+    assert "env is not a group" in msg
+    assert "policy is not a group" in msg
+
+
+def test_multiview_single_valid_camera_id_honored(tmp_path):
+    """--multiview --camera_ids 1 on an ncam=2 file must train on STREAM 1
+    with stream-1 extrinsics masks — not silently substitute streams
+    [0, 1] or render the mask under the primary view's calibration
+    (r5 review fix)."""
+    rng = np.random.RandomState(21)
+    ep = _episode(rng, ncam=2, adim=4)
+    raw = _write(str(tmp_path / "sawyer_sudri0_c0" / "traj0.hdf5"), ep,
+                 "raw", camera_configuration="sudri0")
+    got = RoboNetHDF5Dataset(
+        [raw], ["sawyer_sudri0_c0"],
+        _our_cfg(multiview=True, camera_ids=(1,),
+                 image_height=64, image_width=85),
+    )[0]
+    want = RoboNetHDF5Dataset(
+        [raw], ["sawyer_sudri0_c1"],
+        _our_cfg(image_height=64, image_width=85),
+    )[0]
+    np.testing.assert_array_equal(got["images"], want["images"])
+    np.testing.assert_array_equal(got["masks"], want["masks"])
+
+
+def test_multiview_unsuffixed_dir_uses_per_view_calibration(tmp_path):
+    """A multi-stream file under a dir WITHOUT a _c<k> suffix must still
+    derive per-view calibration keys (base + appended _c<k>) — reusing the
+    primary key for every view would pair view-1 pixels with view-0
+    extrinsics masks (r5 review fix)."""
+    rng = np.random.RandomState(22)
+    ep = _episode(rng, ncam=2, adim=4)
+    raw = _write(str(tmp_path / "sawyer_sudri0" / "traj0.hdf5"), ep,
+                 "raw", camera_configuration="sudri0")
+    item = RoboNetHDF5Dataset(
+        [raw], ["sawyer_sudri0"],
+        _our_cfg(multiview=True, camera_ids=(0, 1),
+                 image_height=128, image_width=85),
+    )[0]
+    want_c1 = RoboNetHDF5Dataset(
+        [raw], ["sawyer_sudri0_c1"],
+        _our_cfg(image_height=64, image_width=85),
+    )[0]
+    # view 1 rows carry the _c1-calibration masks, not a copy of view 0's
+    np.testing.assert_array_equal(item["masks"][:, 64:], want_c1["masks"])
+    np.testing.assert_array_equal(item["images"][:, 64:], want_c1["images"])
