@@ -81,5 +81,15 @@ class RunLogger:
 
     def close(self):
         self._jsonl.close()
+        try:
+            # self-contained wandb-dashboard equivalent: one static HTML
+            # page of metric charts + saved gifs next to metrics.jsonl
+            from robot_aware_control_tpu.training.html_report import (
+                build_report,
+            )
+
+            build_report(self.dir)
+        except Exception as e:  # report is best-effort; never fail a run
+            self.log.warning(f"html report skipped ({e})")
         if self.wandb is not None:
             self.wandb.finish()
