@@ -315,11 +315,31 @@ def main():
     # robot actually waits for; reference spends seconds here host-side)
     import sys
 
+    # diagnostic: device-only throughput. get_action must sync per plan (the
+    # robot needs the action), so the headline above includes one tunnel
+    # round-trip per plan; dispatching the same plans back-to-back and
+    # syncing once isolates pure device time — the headroom the plan
+    # server's co-batching/pipelining recovers under multi-robot load.
+    preps = [policy._host_prep(start, goal, ep_num=2, step=i)
+             for i in range(reps)]
+    outs = [policy._plan(policy.params, policy.bn, *preps[0])]
+    np.asarray(outs[-1])  # warm queue
+    t0 = time.perf_counter()
+    outs = [policy._plan(policy.params, policy.bn, *p) for p in preps]
+    np.asarray(outs[-1])  # device executes in order: one sync drains all
+    elapsed_pipe = time.perf_counter() - t0
+
     print(json.dumps({
         "plan_latency_s": round(elapsed / reps, 4),
         "plans_per_sec": round(reps / elapsed, 2),
+        "device_only_plan_s": round(elapsed_pipe / reps, 4),
+        "tunnel_overhead_per_plan_s": round(
+            max(elapsed / reps - elapsed_pipe / reps, 0.0), 4),
+        "pipelined_rollouts_per_sec": round(rollouts / elapsed_pipe, 2),
         "note": f"one plan = {cfg.opt_iter} iters x "
-                f"{cfg.action_candidates} candidates, horizon {cfg.horizon}",
+                f"{cfg.action_candidates} candidates, horizon {cfg.horizon}; "
+                "headline metric keeps the per-plan sync (single-robot "
+                "control semantics)",
     }), file=sys.stderr)
     print(json.dumps({
         "metric": "cem_model_rollouts_per_sec",
