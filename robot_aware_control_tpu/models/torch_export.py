@@ -21,6 +21,7 @@ Layout conversions (inverse of torch_import.py):
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional
 
 import numpy as np
@@ -256,3 +257,42 @@ def save_torch_checkpoint(path: str, params: Dict, state: Dict, cfg,
             "step": int(step)}
     torch.save(blob, path)
     return path
+
+
+def main(argv=None):
+    """CLI: convert a saved .npz checkpoint to a reference ckpt_*.pt.
+
+    python -m robot_aware_control_tpu.models.torch_export \\
+        --dynamics_model_ckpt runs/myrun/ckpt_10000.npz --model svg \\
+        [model shape flags...] [--out ckpt_10000.pt]
+    """
+    import argparse
+
+    import jax
+    # Weight restructuring needs no accelerator; pinning CPU avoids TPU
+    # tunnel init (and works when no TPU plugin is reachable).
+    jax.config.update("jax_platforms", "cpu")
+
+    from robot_aware_control_tpu.config import argparser
+    from robot_aware_control_tpu.models.registry import get_model
+    from robot_aware_control_tpu.training import checkpoint as ckpt
+
+    cfg, unparsed = argparser(argv)
+    extra = argparse.ArgumentParser()
+    extra.add_argument("--out", default=None,
+                       help="output .pt path (default: ckpt .npz renamed)")
+    eargs = extra.parse_args(unparsed)
+    src = cfg.dynamics_model_ckpt
+    if not src:
+        raise SystemExit("--dynamics_model_ckpt <ckpt.npz> is required")
+    out = eargs.out or (os.path.splitext(src)[0] + ".pt")
+
+    model = get_model(cfg)
+    params, bn = model.init(jax.random.PRNGKey(cfg.seed), cfg)
+    trees, step = ckpt.load_checkpoint(src, {"params": params, "bn": bn})
+    save_torch_checkpoint(out, trees["params"], trees["bn"], cfg, step=step)
+    print(f"wrote {out} (step {step}, model {cfg.model})")
+
+
+if __name__ == "__main__":
+    main()

@@ -179,3 +179,28 @@ def test_export_strict_loads_into_reference_svg_conv_model():
     p2, s2 = TI.import_svg_conv_model(back)
     _assert_trees_equal(params, p2)
     _assert_trees_equal(bn, s2)
+
+
+def test_export_cli_from_npz_checkpoint(tmp_path):
+    """CLI: saved .npz checkpoint -> reference ckpt .pt in one command."""
+    from robot_aware_control_tpu.models import torch_export as te_mod
+    from robot_aware_control_tpu.training import checkpoint as ckpt
+
+    cfg = _cfg("svg")
+    params, bn = get_model(cfg).init(jax.random.PRNGKey(3), cfg)
+    ckpt.save_checkpoint(str(tmp_path), 42, {"params": params, "bn": bn},
+                         background=False)
+    src = str(tmp_path / "ckpt_42.npz")
+    assert os.path.isfile(src)
+    out = str(tmp_path / "ref_ckpt.pt")
+    te_mod.main([
+        "--model", "svg", "--g_dim", str(G), "--z_dim", str(Z),
+        "--action_dim", str(A), "--robot_dim", str(R),
+        "--image_height", str(H), "--image_width", str(W),
+        "--model_use_mask", "true", "--model_use_robot_state", "true",
+        "--dynamics_model_ckpt", src, "--out", out,
+    ])
+    sd = TI.load_torch_state_dict(out)
+    p2, s2 = TI.import_svg_conv_model(sd)
+    _assert_trees_equal(params, p2)
+    _assert_trees_equal(bn, s2)
