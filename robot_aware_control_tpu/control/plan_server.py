@@ -334,18 +334,17 @@ class RemotePolicy:
         self._client.close(shutdown_server=shutdown_server)
 
 
-def main(argv=None):
-    """`rac-plan-server --dynamics_model_ckpt ... --plan_server_port N`:
-    load the checkpoint, compile once, serve until shutdown."""
+def build_server(cfg: "Config") -> "PlanServer":
+    """Build the listening PlanServer a config describes: checkpoint load,
+    env-keyed policy class, --plan_server_host/--plan_server_port bind.
+    Split from main() so the wiring is testable without serve_forever()."""
     import jax
 
-    from robot_aware_control_tpu.config import argparser
     from robot_aware_control_tpu.models.registry import get_model
     from robot_aware_control_tpu.planning.cem import (
         CEMPolicy, PickCEMPolicy, PushCEMPolicy)
     from robot_aware_control_tpu.training import checkpoint as _ckpt
 
-    cfg, _ = argparser(argv)
     params, bn = get_model(cfg).init(jax.random.PRNGKey(cfg.seed), cfg)
     if cfg.dynamics_model_ckpt:
         trees, _ = _ckpt.load_checkpoint(
@@ -354,8 +353,18 @@ def main(argv=None):
     policy_cls = {"LocobotPick": PickCEMPolicy,
                   "LocobotPush": PushCEMPolicy,
                   "LocobotTable": PushCEMPolicy}.get(cfg.env, CEMPolicy)
-    server = PlanServer(cfg, params, bn, policy_cls=policy_cls,
-                        host=cfg.plan_server_host, port=cfg.plan_server_port)
+    return PlanServer(cfg, params, bn, policy_cls=policy_cls,
+                      host=cfg.plan_server_host, port=cfg.plan_server_port)
+
+
+def main(argv=None):
+    """`rac-plan-server --dynamics_model_ckpt ... --plan_server_port N`:
+    load the checkpoint, compile once, serve until shutdown."""
+    from robot_aware_control_tpu.config import argparser
+
+    cfg, _ = argparser(argv)
+    server = build_server(cfg)
+    policy_cls = type(server.policy)
     print(f"plan server: {cfg.model} policy={policy_cls.__name__} "
           f"listening on {server.address[0]}:{server.address[1]}",
           flush=True)
