@@ -252,8 +252,22 @@ def save_torch_checkpoint(path: str, params: Dict, state: Dict, cfg,
     else:
         raise ValueError(f"no torch export for model {model!r} (supported: "
                          "svg, det, svg_vec, det_vec)")
+    # The reference's non-finetune resume also loads ckpt["optimizer"]
+    # unconditionally (trainer.py:884,896); ship a fresh Adam state_dict
+    # (empty per-param state — torch Adam initializes lazily on the first
+    # step) whose param-index list matches model.parameters(): every
+    # exported tensor except BN buffers (running_*, num_batches_tracked).
+    n_params = sum(1 for k in sd
+                   if not k.endswith(("running_mean", "running_var",
+                                      "num_batches_tracked")))
+    probe = torch.optim.Adam(
+        [torch.nn.Parameter(torch.zeros(1)) for _ in range(n_params)],
+        lr=float(getattr(cfg, "lr", 3e-4)),
+        betas=(float(getattr(cfg, "beta1", 0.9)), 0.999),
+    )
     blob = {"model": {k: torch.from_numpy(np.ascontiguousarray(v))
                       for k, v in sd.items()},
+            "optimizer": probe.state_dict(),
             "step": int(step)}
     torch.save(blob, path)
     return path

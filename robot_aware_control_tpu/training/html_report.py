@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import html as _html
 import json
+import math
 import os
 from typing import Dict, List, Sequence, Tuple
 
@@ -96,7 +97,13 @@ def parse_metrics(jsonl_path: str) -> Tuple[Dict[str, List[Tuple[float, float]]]
                     continue
                 if isinstance(v, bool) or not isinstance(v, (int, float)):
                     continue
-                series.setdefault(k, []).append((step, float(v)))
+                v = float(v)
+                # a diverged run logs NaN/inf (json carries them): one such
+                # value would poison the min/max scaling into 'nan' SVG
+                # coordinates and blank the whole chart
+                if not math.isfinite(v):
+                    continue
+                series.setdefault(k, []).append((step, v))
     return series, media
 
 
@@ -175,8 +182,17 @@ def build_report(run_dir: str, out_name: str = "report.html") -> str:
     seen = set()
     gallery: List[Tuple[str, float, str]] = []
     for key, step, path in media:
-        rel = os.path.relpath(path, run_dir) if os.path.isabs(path) else path
-        if rel not in seen and os.path.isfile(os.path.join(run_dir, rel)):
+        # loggers record absolute paths, run-dir-relative paths, or (when
+        # cfg.log_dir is relative) CWD-relative paths like
+        # runs/job/eval_5.gif — try each reading before dropping the entry
+        if os.path.isabs(path):
+            cands = [os.path.relpath(path, run_dir)]
+        else:
+            cands = [path, os.path.relpath(path, run_dir),
+                     os.path.basename(path)]
+        rel = next((c for c in cands
+                    if os.path.isfile(os.path.join(run_dir, c))), None)
+        if rel is not None and rel not in seen:
             seen.add(rel)
             gallery.append((key, step, rel))
     for fn in sorted(os.listdir(run_dir)) if os.path.isdir(run_dir) else []:

@@ -34,6 +34,8 @@ def _fake_run(tmp_path, n_steps=30):
             gif = run / f"eval_{s}.gif"
             gif.write_bytes(b"GIF89a fake")
             rows.append({"eval_video": gif.name, "step": s})
+    # media referenced in the jsonl that was never written to disk
+    rows.append({"eval_video": "ghost.gif", "step": 99})
     _write_jsonl(run / "metrics.jsonl", rows)
     # an unreferenced strip the trainer saved directly
     (run / "strip_final.png").write_bytes(b"\x89PNG fake")
@@ -45,7 +47,7 @@ def test_parse_metrics_splits_scalars_and_media(tmp_path):
     series, media = parse_metrics(str(run / "metrics.jsonl"))
     assert len(series["train/loss"]) == 30
     assert series["train/loss"][0][0] == 0.0
-    assert [m[0] for m in media] == ["eval_video"] * 3
+    assert [m[0] for m in media] == ["eval_video"] * 4
     # wall_s is a scalar series too, never media
     assert "wall_s" in series
 
@@ -66,6 +68,40 @@ def test_build_report_contains_charts_tiles_table_media(tmp_path):
     assert "eval_0.gif" in html and "strip_final.png" in html
     # media the jsonl references but that doesn't exist is skipped
     assert "ghost.gif" not in html
+
+
+def test_nonfinite_metrics_never_blank_a_chart(tmp_path):
+    """A diverged run's NaN/inf rows must not poison min/max scaling into
+    'nan' SVG coordinates (the run where the chart matters most)."""
+    run = tmp_path / "r"
+    run.mkdir()
+    _write_jsonl(run / "metrics.jsonl", [
+        {"train/loss": 1.0, "step": 0},
+        {"train/loss": float("nan"), "step": 1},
+        {"train/loss": float("inf"), "step": 2},
+        {"train/loss": 0.5, "step": 3},
+    ])
+    series, _ = parse_metrics(str(run / "metrics.jsonl"))
+    assert [v for _, v in series["train/loss"]] == [1.0, 0.5]
+    html = open(build_report(str(run))).read()
+    assert "<polyline" in html and "nan" not in html.split("<svg", 1)[1]
+
+
+def test_cwd_relative_media_paths_resolve(tmp_path, monkeypatch):
+    """Relative cfg.log_dir makes the trainer log CWD-relative media paths
+    like runs/job/eval.gif; the gallery must still find them."""
+    monkeypatch.chdir(tmp_path)
+    run = tmp_path / "runs" / "job"
+    run.mkdir(parents=True)
+    sub = run / "plots"
+    sub.mkdir()
+    (sub / "deep.gif").write_bytes(b"GIF89a fake")
+    _write_jsonl(run / "metrics.jsonl", [
+        {"train/loss": 1.0, "step": 0},
+        {"eval_video": "runs/job/plots/deep.gif", "step": 0},
+    ])
+    html = open(build_report("runs/job")).read()
+    assert "plots/deep.gif" in html
 
 
 def test_chart_handles_flat_and_tiny_series():

@@ -180,6 +180,20 @@ def test_export_strict_loads_into_reference_svg_conv_model():
     _assert_trees_equal(params, p2)
     _assert_trees_equal(bn, s2)
 
+    # the reference's non-finetune resume ALSO loads ckpt["optimizer"]
+    # unconditionally (trainer.py:884,896) — the written blob must feed a
+    # fresh reference Adam without KeyError/shape complaints
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        pt = os.path.join(d, "ckpt_1.pt")
+        TE.save_torch_checkpoint(pt, params, bn, cfg, step=1)
+        blob = torch.load(pt, map_location="cpu", weights_only=False)
+        opt = torch.optim.Adam(ref.parameters(), lr=cfg.lr,
+                               betas=(cfg.beta1, 0.999))
+        opt.load_state_dict(blob["optimizer"])  # raises on param mismatch
+        assert blob["optimizer"]["param_groups"][0]["lr"] == cfg.lr
+
 
 def test_export_cli_from_npz_checkpoint(tmp_path):
     """CLI: saved .npz checkpoint -> reference ckpt .pt in one command."""
