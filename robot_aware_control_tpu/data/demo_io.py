@@ -24,6 +24,13 @@ def save_demo(path: str, demo: Dict):
                 hf.create_dataset(k, data=arr)
             else:
                 hf.attrs[k] = str(v)
+        # the reference's demo vocabulary names the with-robot render
+        # stream "robot_demo" (collect_clutter_data.py:94,130; --demo_type
+        # choices config/__init__.py:265) — ours is "observations"; alias
+        # it as an HDF5 hard link (zero extra storage) so --demo_type
+        # robot_demo selects it by name and reference tooling finds it
+        if "observations" in hf and "robot_demo" not in hf:
+            hf["robot_demo"] = hf["observations"]
 
 
 def load_demo(path: str) -> Dict:

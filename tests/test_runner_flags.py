@@ -197,8 +197,12 @@ def test_demo_timescale_subsamples_goals(tmp_path, demo_dir):
 def test_demo_type_selects_goal_stream(tmp_path, demo_dir):
     paths = demo_io.list_demos(demo_dir)
     demo = demo_io.load_demo(paths[0])
-    # default object_only_demo stream vs raw observations stream
-    for key in ("object_only_demo", "observations"):
+    # reference stream vocabulary: robot_demo is the with-robot render
+    # (collect_clutter_data.py:94), saved as a zero-cost HDF5 hard link
+    assert "robot_demo" in demo
+    np.testing.assert_array_equal(demo["robot_demo"], demo["observations"])
+    # default object_only_demo stream vs the reference's robot_demo name
+    for key in ("object_only_demo", "robot_demo"):
         cfg = _runner_cfg(tmp_path / key, demo_type=key)
         runner = PushEpisodeRunner(cfg)
         runner.run_episode(0, paths[0])
