@@ -579,7 +579,8 @@ def create_finetune_loaders(config: Config):
 class DemoVideoDataset:
     """Episode dicts from runner demo files (data/demo_io.py layout).
 
-    --video_type picks the image stream: "observations" (robot visible),
+    --video_type picks the image stream: "observations" (robot visible;
+    also saved under the reference's name "robot_demo"),
     "object_only_demo" / "object_inpaint_demo" (robot-free renders)
     (reference: video_dataset.py:20,27-37 reads `hf[config.video_type]`).
     Actions are clipped to [-1, 1] like the reference (:44-45)."""
